@@ -1,0 +1,103 @@
+"""Checkpoint conversion: reference ``weights.tar`` (torch) <-> native tree.
+
+The reference checkpoint is a ``torch.save`` dict whose ``"desc"`` entry is
+the NetDesc state_dict, possibly with a DataParallel ``module.`` prefix
+(``infer/base.py:28-45``, ``run_utils/utils.py:11-25``). Because our
+parameter tree reuses the torch module paths as flat keys, conversion is a
+pure per-tensor transform:
+
+  conv ``<name>.weight`` (O,I,H,W) -> ``params[<name>]["kernel"]`` (H,W,I,O)
+  conv/BN ``<name>.bias``          -> ``params[<name>]["bias"]``
+  BN ``<name>.weight``             -> ``params[<name>]["scale"]``
+  BN ``<name>.running_mean/var``   -> ``params[<name>]["mean"/"var"]``
+  ``num_batches_tracked``          -> dropped
+
+Native checkpoints are msgpack files (flax.serialization) storing
+``{"params": <flat tree>, "step": int}``.
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict
+
+import numpy as np
+
+from flax import serialization
+
+
+def strip_data_parallel_prefix(state_dict: Dict) -> Dict:
+    names = list(state_dict.keys())
+    if names and all(n.split(".")[0] == "module" for n in names):
+        return {".".join(k.split(".")[1:]): v for k, v in state_dict.items()}
+    return state_dict
+
+
+def convert_torch_state_dict(state_dict: Dict) -> Dict:
+    """torch state_dict (tensor or ndarray values) -> flat param tree."""
+    state_dict = strip_data_parallel_prefix(state_dict)
+    params: Dict[str, Dict[str, np.ndarray]] = {}
+    for key, value in state_dict.items():
+        value = np.asarray(
+            value.detach().cpu().numpy() if hasattr(value, "detach") else value
+        )
+        leaf_name, attr = key.rsplit(".", 1)
+        if attr == "num_batches_tracked":
+            continue
+        leaf = params.setdefault(leaf_name, {})
+        if attr == "weight":
+            if value.ndim == 4:  # conv OIHW -> HWIO
+                leaf["kernel"] = np.transpose(value, (2, 3, 1, 0)).copy()
+            elif value.ndim == 1:  # norm scale
+                leaf["scale"] = value.astype(np.float32)
+            else:  # linear (unused by NetDesc, kept for generality): (O,I)->(I,O)
+                leaf["kernel"] = value.T.copy()
+        elif attr == "bias":
+            leaf["bias"] = value.astype(np.float32)
+        elif attr == "running_mean":
+            leaf["mean"] = value.astype(np.float32)
+        elif attr == "running_var":
+            leaf["var"] = value.astype(np.float32)
+        else:
+            raise ValueError(f"unrecognized checkpoint entry: {key}")
+    return params
+
+
+def convert_torch_checkpoint(checkpoint_path: str) -> Dict:
+    """Load a reference ``weights.tar`` and return the native param tree."""
+    import torch  # local import: torch only needed for legacy checkpoints
+
+    ckpt = torch.load(checkpoint_path, map_location="cpu", weights_only=False)
+    state_dict = ckpt["desc"] if isinstance(ckpt, dict) and "desc" in ckpt else ckpt
+    return convert_torch_state_dict(state_dict)
+
+
+def save_checkpoint(path: str, params: Dict, step: int = 0) -> None:
+    blob = serialization.msgpack_serialize(
+        {"params": {k: dict(v) for k, v in params.items()}, "step": np.int64(step)}
+    )
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as handle:
+        handle.write(blob)
+    os.replace(tmp, path)
+
+
+def load_native_checkpoint(path: str) -> Dict:
+    with open(path, "rb") as handle:
+        tree = serialization.msgpack_restore(handle.read())
+    return tree["params"]
+
+
+def load_checkpoint(path: str) -> Dict:
+    """Load either a native msgpack checkpoint or a reference torch tar.
+
+    Dispatch is by content, not extension, so the reference's
+    ``<model_dir>/weights.tar`` contract keeps working unchanged.
+    """
+    with open(path, "rb") as handle:
+        magic = handle.read(2)
+    if magic == b"PK" or path.endswith((".tar", ".pt", ".pth")):
+        try:
+            return convert_torch_checkpoint(path)
+        except Exception:
+            pass
+    return load_native_checkpoint(path)

@@ -1,0 +1,225 @@
+"""Multi-task U-Net: shared encoder, per-task summation-skip decoders, 1x1
+heads, and a global-pool tissue classifier — one fused XLA program.
+
+Behavioral spec (reference ``models/net_desc.py``):
+  * ``imgs / 255.0`` (:147); encoder returns a 5-scale pyramid;
+  * ``conv_map``: 1x1 f[-1]->f[-2], bias-free (:51-53);
+  * each decoder runs ``prev = blk(upsample2x(prev) + skip)`` over 4 levels
+    (:183-189), decoder blocks per ``models/utils/net_layers.py:22-26``
+    (ConvBlock(f[-2],[f[-2],f[-3]],3) ... ConvBlock(f[-5],[f[-5],f[-5]],3));
+  * per-output 1x1 head: ConvBlock(f[-5],[96],1) + Conv(96,out,1) (:31-38);
+  * Patch-Class head: center-crop the PRE-conv_map bottom features to 9x9
+    when larger (inference-size invariance), global-average-pool, then
+    BN-ReLU-Dropout(0.3)-Conv1x1(512->256)-BN-ReLU-Conv1x1(256->9) (:64-76,
+    :169-180);
+  * output dict keys are ``f"{decoder.split('#')[0]}-{output}"`` (:198) and
+    plain ``"Patch-Class"`` for the classifier (:180).
+
+Branch freezing (``train_decoder_list``, :160-189 and subtype flags
+:105-142) maps to ``jax.lax.stop_gradient`` on non-trained branch outputs;
+BN running stats still update for all branches in train mode, matching the
+torch ``set_grad_enabled`` semantics.
+
+Parameters are a flat dict keyed by the reference checkpoints' state_dict
+names (``decoder_head.Gland.0.block.0.conv`` etc.), so conversion from
+``weights.tar`` is a mechanical per-tensor transform (models/convert.py).
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import random
+
+from ..config import ModelConfig
+from .backbones import get_backbone
+from .layers import (
+    center_crop,
+    conv2d,
+    dropout,
+    global_avg_pool,
+    init_bn,
+    init_conv,
+    relu,
+    upsample2x_bilinear,
+)
+from .backbones.resnet import apply_bn
+
+CLS_HEAD_INT_CH = 96  # classification-head hidden width (net_layers.py:31)
+
+
+def head_output_channels(cfg: ModelConfig) -> Dict[str, int]:
+    """{head_code: channel count} in decoder order."""
+    out = {}
+    for decoder_name, heads in cfg.decoder_info:
+        if decoder_name not in cfg.considered_tasks:
+            continue
+        for head_name, ch in heads:
+            if decoder_name == "Patch-Class":
+                out["Patch-Class"] = ch
+            else:
+                out[decoder_name.split("#")[0] + "-" + head_name] = ch
+    return out
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+def _init_conv_block(params, keys, name, in_ch, unit_ch, ksize):
+    """ConvBlock = sequence of (conv+BN+ReLU) layers (conv_layers.py:63-103)."""
+    for idx, out_ch in enumerate(unit_ch):
+        params[f"{name}.block.{idx}.conv"] = init_conv(
+            next(keys), ksize, ksize, in_ch, out_ch, bias=True
+        )
+        params[f"{name}.block.{idx}.bn"] = init_bn(out_ch)
+        in_ch = out_ch
+    return in_ch
+
+
+def _torch_default_conv_init(rng, kh, kw, cin, cout, bias=False):
+    """torch's default Conv2d init (kaiming uniform, a=sqrt(5)) — used for
+    conv_map, which the reference never re-initializes (net_desc.py:89-101
+    applies weights_init_cnn only to backbone/decoder/output heads)."""
+    fan_in = cin * kh * kw
+    bound = 1.0 / (fan_in ** 0.5)
+    k1, k2 = random.split(rng)
+    p = {"kernel": random.uniform(k1, (kh, kw, cin, cout), jnp.float32,
+                                  -bound, bound)}
+    if bias:
+        p["bias"] = random.uniform(k2, (cout,), jnp.float32, -bound, bound)
+    return p
+
+
+def init_net_params(rng, cfg: ModelConfig) -> Dict:
+    """Build the full parameter tree with reference-equivalent initialization
+    (kaiming fan_out for convs, unit/zero BN — models/utils/__init__.py:10-20)."""
+    init_backbone, _fwd, filters = get_backbone(cfg.encoder_backbone_name)
+    keys = iter(random.split(rng, 8192))
+    params = init_backbone(next(keys), "backbone")
+    params["conv_map"] = {
+        "kernel": _torch_default_conv_init(next(keys), 1, 1, filters[-1],
+                                           filters[-2])["kernel"]
+    }
+
+    for decoder_name, heads in cfg.decoder_info:
+        if decoder_name not in cfg.considered_tasks:
+            continue
+        if decoder_name == "Patch-Class":
+            base = "decoder_head.Patch-Class"
+            (_, out_ch), = heads
+            params[f"{base}.bn1"] = init_bn(filters[-1])
+            params[f"{base}.conv1"] = init_conv(next(keys), 1, 1, filters[-1], 256)
+            params[f"{base}.bn2"] = init_bn(256)
+            params[f"{base}.conv2"] = init_conv(next(keys), 1, 1, 256, out_ch)
+            continue
+        # 4 up-blocks u4..u1 (stored as ModuleList indices 0..3)
+        spec = [
+            (filters[-2], [filters[-2], filters[-3]]),
+            (filters[-3], [filters[-3], filters[-4]]),
+            (filters[-4], [filters[-4], filters[-5]]),
+            (filters[-5], [filters[-5], filters[-5]]),
+        ]
+        for blk_idx, (in_ch, unit_ch) in enumerate(spec):
+            _init_conv_block(params, keys,
+                             f"decoder_head.{decoder_name}.{blk_idx}",
+                             in_ch, unit_ch, ksize=3)
+        for head_name, out_ch in heads:
+            base = f"output_head.{decoder_name}.{head_name}.x"
+            _init_conv_block(params, keys, f"{base}.0", filters[-5],
+                             [CLS_HEAD_INT_CH], ksize=1)
+            params[f"{base}.1.conv"] = init_conv(next(keys), 1, 1,
+                                                 CLS_HEAD_INT_CH, out_ch)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def _conv_block(params, name, x, n_layers, bn_sink):
+    for idx in range(n_layers):
+        x = conv2d(params[f"{name}.block.{idx}.conv"], x)
+        x = relu(apply_bn(params, f"{name}.block.{idx}.bn", x, bn_sink))
+    return x
+
+
+def _decoder_tower(params, decoder_name, feat_list, bn_sink):
+    prev = feat_list[-1]
+    for idx in range(1, len(feat_list)):
+        prev = upsample2x_bilinear(prev)
+        prev = _conv_block(params, f"decoder_head.{decoder_name}.{idx - 1}",
+                           feat_list[-(idx + 1)] + prev, 2, bn_sink)
+    return prev
+
+
+def _patch_class_head(params, bottom_feats, bn_sink, dropout_rng):
+    feat_h, feat_w = bottom_feats.shape[1], bottom_feats.shape[2]
+    if feat_h != 9 and feat_w != 9:
+        bottom_feats = center_crop(bottom_feats, 9, 9)
+    x = global_avg_pool(bottom_feats)
+    base = "decoder_head.Patch-Class"
+    x = relu(apply_bn(params, f"{base}.bn1", x, bn_sink))
+    if dropout_rng is not None:
+        x = dropout(x, 0.3, dropout_rng)
+    x = conv2d(params[f"{base}.conv1"], x, padding=0)
+    x = relu(apply_bn(params, f"{base}.bn2", x, bn_sink))
+    return conv2d(params[f"{base}.conv2"], x, padding=0)
+
+
+def net_forward(
+    params,
+    imgs,
+    cfg: ModelConfig,
+    *,
+    train_decoder_list: Tuple[str, ...] = (),
+    bn_sink: Optional[dict] = None,
+    dropout_rng=None,
+    compute_dtype=jnp.float32,
+) -> Dict[str, jnp.ndarray]:
+    """Run all considered heads. ``imgs``: NHWC, any numeric dtype, 0-255.
+
+    Returns {head_code: NHWC logits}. With ``bn_sink`` given (train mode),
+    batch statistics are used and recorded, and branches outside
+    ``train_decoder_list`` have gradients stopped at their outputs.
+    """
+    training = bn_sink is not None
+    _init_fn, backbone_fwd, _filters = get_backbone(cfg.encoder_backbone_name)
+
+    x = imgs.astype(compute_dtype) / jnp.asarray(255.0, compute_dtype)
+    feat_list = backbone_fwd(params, x, "backbone", bn_sink)
+    bottom_feats = feat_list[-1]
+    feat_list = feat_list[:-1] + [conv2d(params["conv_map"], bottom_feats,
+                                         padding=0)]
+
+    def branch_trainable(decoder_name: str) -> bool:
+        flag = decoder_name in train_decoder_list
+        if cfg.subtype_gland or cfg.subtype_nuclei:
+            if "TYPE" not in decoder_name:
+                return False
+            if ("Gland" in decoder_name and not cfg.subtype_gland) or (
+                    "Nuclei" in decoder_name and not cfg.subtype_nuclei):
+                return False
+        return flag
+
+    output_dict: Dict[str, jnp.ndarray] = {}
+    for decoder_name, heads in cfg.decoder_info:
+        if decoder_name not in cfg.considered_tasks:
+            continue
+        if decoder_name == "Patch-Class":
+            out = _patch_class_head(params, bottom_feats, bn_sink,
+                                    dropout_rng if training else None)
+            if training and not branch_trainable(decoder_name):
+                out = jax.lax.stop_gradient(out)
+            output_dict["Patch-Class"] = out
+            continue
+        prev = _decoder_tower(params, decoder_name, feat_list, bn_sink)
+        for head_name, _out_ch in heads:
+            base = f"output_head.{decoder_name}.{head_name}.x"
+            out = _conv_block(params, f"{base}.0", prev, 1, bn_sink)
+            out = conv2d(params[f"{base}.1.conv"], out, padding=0)
+            if training and not branch_trainable(decoder_name):
+                out = jax.lax.stop_gradient(out)
+            output_dict[decoder_name.split("#")[0] + "-" + head_name] = out
+    return output_dict

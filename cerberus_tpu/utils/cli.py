@@ -1,0 +1,79 @@
+"""A minimal docopt-compatible flag parser.
+
+The reference CLIs use docopt usage strings (``run_infer_tile.py:1-23``,
+``run_infer_wsi.py:1-37``). docopt is not available in this environment, so
+this module implements the subset those CLIs need: long ``--flag=<value>``
+options with ``[default: ...]`` annotations, ``-h/--help`` and ``--version``.
+Flag spelling and defaults stay bit-for-bit compatible.
+"""
+from __future__ import annotations
+
+import re
+import sys
+
+
+def parse_defaults(doc: str) -> dict:
+    """Extract ``{--flag: default-or-None}`` from the Options section."""
+    defaults = {}
+    for line in doc.splitlines():
+        line = line.strip()
+        match = re.match(r"(--[A-Za-z0-9_\-]+)(?:=<[^>]*>)?\s{2,}", line)
+        if not match:
+            # options with no trailing description double-space
+            match = re.match(r"(--[A-Za-z0-9_\-]+)(?:=<[^>]*>)?\s", line)
+        if not match:
+            continue
+        flag = match.group(1)
+        default_match = re.search(r"\[default:\s*(.*?)\]", line)
+        defaults[flag] = default_match.group(1) if default_match else None
+    return defaults
+
+
+def docopt(doc: str, argv=None, version: str = "") -> dict:
+    """Parse argv against a docopt usage string.
+
+    Returns ``{--flag: value}`` with values from argv, falling back to the
+    ``[default: ...]`` annotations; flags with no default and not given parse
+    to ``None``. Boolean (valueless) flags parse to True/False.
+    """
+    if argv is None:
+        argv = sys.argv[1:]
+    args = parse_defaults(doc)
+
+    value_flags = set(re.findall(r"(--[A-Za-z0-9_\-]+)=<[^>]*>", doc))
+    known = set(args) | value_flags | {"--help", "--version"}
+    for flag in known - value_flags:
+        if args.get(flag) is None and flag in doc:
+            # valueless boolean flag
+            args.setdefault(flag, None)
+            if args[flag] is None:
+                args[flag] = False
+
+    i = 0
+    while i < len(argv):
+        token = argv[i]
+        if token in ("-h", "--help"):
+            print(doc)
+            sys.exit(0)
+        if token == "--version":
+            print(version)
+            sys.exit(0)
+        if token.startswith("--"):
+            if "=" in token:
+                flag, value = token.split("=", 1)
+            else:
+                flag = token
+                if flag in value_flags and i + 1 < len(argv):
+                    i += 1
+                    value = argv[i]
+                else:
+                    value = True
+            if flag not in known:
+                print(doc)
+                sys.exit(1)
+            args[flag] = value
+        else:
+            print(doc)
+            sys.exit(1)
+        i += 1
+    return args
