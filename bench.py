@@ -1,0 +1,69 @@
+"""Benchmark: 448^2 tiles/sec/chip for the fused 6-head inference step.
+
+Measures the production configuration (bf16 compute, batch 32, all six heads
++ in-graph activations/crops emitting the stitcher-ready canvas tensor) on
+the default accelerator. Prints ONE JSON line.
+
+vs_baseline: the reference publishes no throughput numbers (BASELINE.md);
+the divisor is the reference's default tile operating point of ~25
+448^2-patches/s implied by its shipped batch-25 single-GPU examples —
+an explicitly-labeled estimate, not a measured torch number.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from cerberus_tpu.config import DEFAULT_DECODER_KWARGS, ModelConfig
+from cerberus_tpu.infer.steps import fused_infer_outputs
+from cerberus_tpu.models.net_desc import init_net_params
+
+BATCH = 32
+WARMUP = 3
+ITERS = 20
+EST_REFERENCE_TILES_PER_SEC = 25.0
+
+
+def main() -> None:
+    cfg = ModelConfig.from_kwargs({
+        "encoder_backbone_name": "resnet34",
+        "decoder_kwargs": DEFAULT_DECODER_KWARGS,
+        "considered_tasks": list(DEFAULT_DECODER_KWARGS.keys()),
+    })
+    params = init_net_params(jax.random.PRNGKey(0), cfg)
+    params = jax.device_put(params)
+
+    @jax.jit
+    def step(p, imgs):
+        return fused_infer_outputs(p, imgs, cfg, output_shape=144,
+                                   compute_dtype=jnp.bfloat16)
+
+    rng = np.random.default_rng(0)
+    imgs = jax.device_put(
+        rng.integers(0, 255, (BATCH, 448, 448, 3)).astype(np.uint8))
+
+    for _ in range(WARMUP):
+        step(params, imgs).block_until_ready()
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out = step(params, imgs)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    tiles_per_sec = BATCH * ITERS / dt
+    print(json.dumps({
+        "metric": "448^2 tiles/sec/chip (6-head fused forward+activations, bf16, batch 32)",
+        "value": round(tiles_per_sec, 2),
+        "unit": "tiles/s",
+        "vs_baseline": round(tiles_per_sec / EST_REFERENCE_TILES_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,65 @@
+"""Base inference manager: checkpoint load + jitted step binding.
+
+Parity target: ``infer/base.py:9-54`` — constructor kwargs become attributes;
+the model is built from ``model_args``, the ``weights.tar`` checkpoint's
+``desc`` state_dict is loaded (DataParallel ``module.`` prefixes stripped)
+and the run step is bound. TPU differences: parameters convert to a JAX tree
+and are placed once on device; "DataParallel" is replaced by pjit batch
+sharding over the local mesh (parallel/mesh.py) when more than one chip is
+visible; one compiled program serves each (batch, output_shape) signature.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ModelConfig
+from ..models.convert import load_checkpoint
+from ..models.net_desc import init_net_params
+from .steps import make_infer_step
+
+
+class InferManager:
+    def __init__(self, checkpoint_path: Optional[str] = None,
+                 decoder_dict: Optional[dict] = None,
+                 model_args: Optional[dict] = None,
+                 params: Optional[Dict] = None,
+                 compute_dtype=jnp.bfloat16,
+                 **kwargs):
+        self.checkpoint_path = checkpoint_path
+        self.decoder_dict = decoder_dict or {}
+        self.model_args = model_args or {}
+        self.compute_dtype = compute_dtype
+        for variable, value in kwargs.items():
+            setattr(self, variable, value)
+        self.cfg = ModelConfig.from_kwargs(self.model_args)
+        self._load_model(params)
+
+    def _load_model(self, params: Optional[Dict]) -> None:
+        if params is None:
+            if self.checkpoint_path is None:
+                # random weights (tests / benchmarking without a checkpoint)
+                params = init_net_params(jax.random.PRNGKey(0), self.cfg)
+            else:
+                params = load_checkpoint(self.checkpoint_path)
+        # single device_put of the whole tree; replication across local chips
+        # is handled by the sharded step builder when requested.
+        self.params = jax.tree.map(
+            lambda x: jax.device_put(jnp.asarray(x)), params
+        )
+        self._step_cache: Dict[int, callable] = {}
+
+    def run_step(self, batch: np.ndarray, output_shape: int) -> np.ndarray:
+        """uint8 NHWC batch -> (N, out, out, C_total) float32 numpy.
+
+        One compiled executable per output_shape; batch shape is the caller's
+        responsibility (pad to a fixed size to avoid recompiles).
+        """
+        if output_shape not in self._step_cache:
+            self._step_cache[output_shape] = make_infer_step(
+                self.params, self.cfg, output_shape, self.compute_dtype
+            )
+        return self._step_cache[output_shape](batch)

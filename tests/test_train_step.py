@@ -1,0 +1,138 @@
+"""Training-step semantics: masked multi-task loss, BN stat updates, and the
+8-device CPU-mesh data-parallel path."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cerberus_tpu.config import DEFAULT_DECODER_KWARGS, ModelConfig
+from cerberus_tpu.models.net_desc import init_net_params
+from cerberus_tpu.train.steps import (
+    TrainState,
+    head_order,
+    make_lr_schedule,
+    make_train_step,
+    make_optimizer,
+)
+
+# tiny geometry: 48^2 input keeps CPU compile+run fast; bottom feats are 3x3
+MODEL_KWARGS = {
+    "encoder_backbone_name": "resnet18",
+    "decoder_kwargs": DEFAULT_DECODER_KWARGS,
+    "considered_tasks": list(DEFAULT_DECODER_KWARGS.keys()),
+}
+CFG = ModelConfig.from_kwargs(MODEL_KWARGS)
+
+LOSS_KWARGS = {
+    "loss_info": {
+        "Lumen-INST": {"weight": 1.5, "loss": {"ce": 1}},
+        "Gland-INST": {"weight": 1.4, "loss": {"ce": 1}},
+        "Nuclei-INST": {"weight": 1, "loss": {"ce": 1}},
+        "Nuclei-TYPE": {"weight": 0, "loss": {"ce": 1, "dice": 1}},
+        "Gland-TYPE": {"weight": 1, "loss": {"ce": 1, "dice": 1}},
+        "Patch-Class": {"weight": 0.4, "loss": {"ce": 1}},
+    },
+    "class_weight": {
+        "Gland-TYPE": {1: 1, 2: 1},
+        "Nuclei-TYPE": {1: 12, 2: 1, 3: 2, 4: 6, 5: 12, 6: 2},
+    },
+}
+
+
+def _make_batch(rng, n=2, hw=48):
+    heads = head_order(CFG)
+    batch = {
+        "img": rng.integers(0, 255, (n, hw, hw, 3)).astype(np.uint8),
+        "has_target": np.ones((n, len(heads)), np.float32),
+    }
+    ch = {"Lumen-INST": 3, "Gland-INST": 3, "Nuclei-INST": 3,
+          "Nuclei-TYPE": 7, "Gland-TYPE": 3}
+    for head, n_cls in ch.items():
+        batch[head] = rng.integers(0, n_cls, (n, hw, hw, 1)).astype(np.int32)
+        if head.endswith("-INST"):
+            batch[head + "#WEIGHT-MAP"] = np.ones((n, hw, hw, 1), np.float32)
+    batch["Patch-Class"] = rng.integers(0, 9, (n, 1, 1, 1)).astype(np.int32)
+    return batch
+
+
+@pytest.fixture(scope="module")
+def state_and_step():
+    params = init_net_params(jax.random.PRNGKey(0), CFG)
+    step_fn, tx = make_train_step(CFG, LOSS_KWARGS, {"lr": 1e-3},
+                                  donate=False)
+    state = TrainState(params=params, opt_state=tx.init(params),
+                       step=jnp.zeros((), jnp.int32))
+    return state, step_fn
+
+
+def test_train_step_updates_params_and_bn(state_and_step):
+    state, step_fn = state_and_step
+    rng = np.random.default_rng(0)
+    batch = _make_batch(rng)
+    new_state, metrics = step_fn(state, batch, jax.random.PRNGKey(1))
+
+    assert float(metrics["overall_loss"]) > 0
+    assert int(new_state.step) == 1
+    # trainable weights moved
+    w0 = state.params["backbone.conv1"]["kernel"]
+    w1 = new_state.params["backbone.conv1"]["kernel"]
+    assert not np.allclose(np.asarray(w0), np.asarray(w1))
+    # BN running stats moved (mean was 0, batch mean isn't)
+    m0 = np.asarray(state.params["backbone.bn1"]["mean"])
+    m1 = np.asarray(new_state.params["backbone.bn1"]["mean"])
+    assert not np.allclose(m0, m1)
+    # zero-weight head tracked but contributes nothing
+    assert float(metrics["Nuclei-TYPE_loss"]) == 0.0
+
+
+def test_dummy_masking_zeroes_missing_heads(state_and_step):
+    state, step_fn = state_and_step
+    rng = np.random.default_rng(1)
+    batch = _make_batch(rng)
+    heads = head_order(CFG)
+    # mark Gland-INST GT as dummy for all samples + zero the map
+    gi = heads.index("Gland-INST")
+    batch["has_target"][:, gi] = 0.0
+    batch["Gland-INST"][:] = 0
+    _, metrics = step_fn(state, batch, jax.random.PRNGKey(1))
+    assert float(metrics["Gland-INST_loss"]) == 0.0
+    assert float(metrics["overall_loss"]) > 0
+
+
+def test_lr_schedule_steps():
+    sched = make_lr_schedule(1e-3, decay_steps=10, gamma=0.1)
+    assert np.isclose(sched(0), 1e-3)
+    assert np.isclose(sched(9), 1e-3)
+    assert np.isclose(sched(10), 1e-4)
+    assert np.isclose(sched(20), 1e-5)
+
+
+def test_optimizer_masks_bn_stats():
+    params = {"backbone.bn1": {"scale": jnp.ones(4), "bias": jnp.zeros(4),
+                               "mean": jnp.zeros(4), "var": jnp.ones(4)},
+              "conv": {"kernel": jnp.ones((1, 1, 4, 4))}}
+    tx, _ = make_optimizer({"lr": 1.0})
+    opt_state = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, opt_state, params)
+    # stats untouched, trainables updated
+    assert float(jnp.abs(updates["backbone.bn1"]["mean"]).max()) == 0.0
+    assert float(jnp.abs(updates["conv"]["kernel"]).max()) > 0.0
+
+
+def test_data_parallel_mesh_train_step():
+    import conftest
+
+    from cerberus_tpu.parallel.mesh import make_mesh, make_sharded_train_step
+
+    mesh = make_mesh(conftest.cpu_mesh_devices())
+    assert mesh.devices.size == 8  # conftest forces 8 virtual CPU devices
+    run, init_state, _tx = make_sharded_train_step(CFG, mesh, LOSS_KWARGS)
+    params = init_net_params(jax.random.PRNGKey(0), CFG)
+    state = init_state(params)
+    rng_np = np.random.default_rng(2)
+    batch = _make_batch(rng_np, n=8)
+    new_state, metrics = run(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["overall_loss"]))
+    assert int(new_state.step) == 1
