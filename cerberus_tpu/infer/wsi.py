@@ -1,0 +1,428 @@
+"""WSI inference pipeline: gigapixel slides -> per-slide instance
+dictionaries (``dat/<name>.dat``), tissue-class maps (``tissue/<name>.mat``),
+optional thumbnails/masks.
+
+Parity target: ``infer/wsi.py`` end-to-end (call stack SURVEY.md §3.2):
+  * ioconfigs: inference tile 15000^2 / patch 448->144 stride 144 margin 64;
+    postproc tile 4096^2 (``:888-915``);
+  * per-slide phases with perf-counter span logging: placement -> inference
+    -> nuclei postproc -> tissue postproc -> gland+lumen postproc
+    (``:517-856``);
+  * skip-if-done on ``dat/<name>.dat`` (``:969-978``); cache wiped at the end
+    (``:982``);
+  * nuclei: 4-set boundary-repair tiling with margin dedup in a process pool
+    (``:637-684``, worker ``:81-268``);
+  * tissue: Patch-Class canvas 0.25x nearest + mask gate -> .mat (``:686-719``);
+  * gland/lumen: per-tissue-region canvas crops, 0.5x resize, postproc with
+    ds_factor, lumen-in-gland gating, uuid-keyed info dicts (``:721-837``);
+  * ``.dat`` payload: {Nuclei,Gland,Lumen} dicts + proc/base resolution and
+    YX dimensions (``:844-853``).
+
+TPU-first design differences (all output-preserving):
+  * ONE fused (H, W, 9) float16 canvas instead of six per-head float .npy
+    caches — each batch leaves the chip as a single tensor and lands with
+    one strided write (wsi/merge.py);
+  * patches are partitioned across inference tiles (no double compute /
+    double accumulation at 15000-tile seams — the reference re-runs
+    boundary-straddling patches in both tiles and never renormalizes);
+  * the 12 persistent torch DataLoader workers + Manager().Namespace
+    retargeting machinery collapse into a thread-pool patch reader feeding
+    fixed-shape batches to the jitted step (JAX async dispatch overlaps H2D
+    with host reads);
+  * boundary dedup is vectorized numpy (wsi/dedup.py), not shapely STRtrees.
+"""
+from __future__ import annotations
+
+import logging
+import os
+import pathlib
+import time
+import uuid
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
+from datetime import datetime
+
+import cv2
+import joblib
+import numpy as np
+import scipy.io as sio
+
+from ..data.patching import make_channel_index_map
+from ..ops.cc_cpu import label as cc_label
+from ..ops.postproc import POSTPROC_FUNC_DICT, get_inst_info_dict
+from ..utils import get_bounding_box, mkdir, rm_n_mkdir
+from ..wsi.coords import (
+    assign_patches_to_tiles,
+    filter_coordinates,
+    get_coordinates,
+    get_tile_info,
+)
+from ..wsi.dedup import select_ref_removals, select_tile_removals
+from ..wsi.ioconfig import make_inference_ioconfig, make_postproc_ioconfig
+from ..wsi.merge import CanvasSet
+from ..wsi.reader import open_wsi
+from .manager import InferManager as BaseInferManager
+
+
+def _info_to_wsi_format(inst_info_dict, offset_xy):
+    """Convert ops.postproc info dicts to the WSI .dat contract: flat XY
+    boxes [x0, y0, x1, y1], coords offset to WSI space, uuid keys
+    (infer/wsi.py:259-266,814-831)."""
+    out = {}
+    for _inst_id, info in inst_info_dict.items():
+        box = info["box"]
+        flat_box = np.array([box[0][1], box[0][0], box[1][1], box[1][0]])
+        new_info = {
+            "box": flat_box + np.concatenate([offset_xy] * 2),
+            "centroid": np.asarray(info["centroid"]) + offset_xy,
+            "contour": np.asarray(info["contour"]) + offset_xy,
+        }
+        if "type" in info:
+            new_info["type"] = info["type"]
+            new_info["type_prob"] = info["type_prob"]
+        out[uuid.uuid4().hex] = new_info
+    return out
+
+
+def _process_tile_predictions(raw_path, canvas_shape, inst_slice, type_slice,
+                              tile_bounds, tile_flag, tile_mode,
+                              ref_boxes, ref_uids, margin, postproc_code):
+    """Nuclei post-processing worker for one boundary-repair tile.
+
+    Module-level and memmap-based so it pickles cleanly into a process pool
+    (same constraint as the reference, infer/wsi.py:78-80). Returns
+    (new_inst_dict, remove_uuid_list)."""
+    raw = np.load(raw_path, mmap_mode="r")
+    x0, y0, x1, y1 = [int(v) for v in tile_bounds]
+    x1 = min(x1, raw.shape[1])
+    y1 = min(y1, raw.shape[0])
+    region = np.asarray(raw[y0:y1, x0:x1], dtype=np.float32)
+    raw_map = np.concatenate(
+        [region[..., inst_slice[0]:inst_slice[1]],
+         region[..., type_slice[0]:type_slice[1]]], axis=-1)
+    idx_dict = {"Nuclei-INST": [0, 2], "Nuclei-TYPE": [2, 3]}
+
+    proc_cls = POSTPROC_FUNC_DICT[postproc_code]
+    inst_map, type_map = proc_cls.post_process(raw_map, idx_dict, "Nuclei")
+    inst_dict = get_inst_info_dict(inst_map, type_map)
+    if len(inst_dict) == 0:
+        return {}, []
+
+    # flat XY boxes in tile space for the dedup queries
+    boxes = np.array([
+        [v["box"][0][1], v["box"][0][0], v["box"][1][1], v["box"][1][0]]
+        for v in inst_dict.values()])
+    drop = select_tile_removals(boxes, (x1 - x0, y1 - y0), margin,
+                                tile_flag, tile_mode)
+
+    keep_ids = [k for k, d in zip(inst_dict.keys(), drop) if not d]
+    kept = {k: inst_dict[k] for k in keep_ids}
+    new_inst_dict = _info_to_wsi_format(kept, np.array([x0, y0]))
+
+    remove_uuid_list = []
+    if tile_mode == 3 and len(ref_boxes) > 0:
+        ref_drop = select_ref_removals(np.asarray(ref_boxes), tile_bounds,
+                                       margin)
+        remove_uuid_list = [u for u, d in zip(ref_uids, ref_drop) if d]
+    return new_inst_dict, remove_uuid_list
+
+
+class InferManager(BaseInferManager):
+    """WSI-mode inference."""
+
+    get_coordinates = staticmethod(get_coordinates)
+    get_tile_info = staticmethod(get_tile_info)
+
+    def _parse_args(self, run_args):
+        for variable, value in run_args.items():
+            setattr(self, variable, value)
+
+    # ------------------------------------------------------------------
+    def _read_patch_batches(self, reader, patch_inputs, resolution):
+        """Thread-pool patch reader yielding fixed-shape uint8 batches.
+
+        Replaces the reference's 12 persistent DataLoader workers + shared-
+        namespace retargeting (infer/wsi.py:319-345,936-950): threads read
+        pyramid windows (mmap/cv2 release the GIL) while the previous batch
+        computes on the chip."""
+        batch_size = int(self.batch_size)
+        in_w = patch_inputs[0, 2] - patch_inputs[0, 0]
+        in_h = patch_inputs[0, 3] - patch_inputs[0, 1]
+
+        def read_one(bounds):
+            return reader.read_bounds(bounds, **resolution)
+
+        workers = int(getattr(self, "nr_inference_workers", 8) or 8)
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            for start in range(0, len(patch_inputs), batch_size):
+                chunk = patch_inputs[start : start + batch_size]
+                batch = np.zeros((batch_size, in_h, in_w, 3), np.uint8)
+                for bi, patch in enumerate(pool.map(read_one, chunk)):
+                    batch[bi] = patch
+                yield batch, len(chunk)
+
+    # ------------------------------------------------------------------
+    def process_single_file(self, ioconfig, ioconfig_pp, wsi_path, mask_path,
+                            wsi_basename, output_dir):
+        rm_n_mkdir(self.cache_path)
+        logger = self.logger
+
+        start = time.perf_counter()
+        resolution = ioconfig.highest_input_resolution
+        reader = open_wsi(wsi_path)
+        wsi_proc_shape_xy = reader.slide_dimensions(**resolution)  # (w, h)
+        wsi_proc_shape = wsi_proc_shape_xy[::-1]  # YX
+        wsi_base_mpp = reader.info.mpp
+        wsi_base_shape = np.array(reader.info.slide_dimensions)[::-1]  # YX
+
+        if mask_path is not None and os.path.isfile(mask_path):
+            wsi_mask = cv2.imread(mask_path)
+            wsi_mask = cv2.cvtColor(wsi_mask, cv2.COLOR_BGR2GRAY)
+            wsi_mask[wsi_mask > 0] = 1
+        else:
+            wsi_mask = np.ones(tuple(wsi_proc_shape), dtype=np.uint8)
+        mask_downsample_ratio = wsi_mask.shape[0] / wsi_proc_shape[0]
+
+        if getattr(self, "save_mask", False):
+            cv2.imwrite(f"{output_dir}/mask/{wsi_basename}.png", wsi_mask * 255)
+        if getattr(self, "save_thumb", False):
+            try:
+                thumb = reader.slide_thumbnail(resolution=1.25, units="power")
+            except ValueError:
+                thumb = reader.slide_thumbnail(resolution=8 * reader.info.mpp,
+                                               units="mpp")
+            cv2.imwrite(f"{output_dir}/thumb/{wsi_basename}.png",
+                        cv2.cvtColor(thumb, cv2.COLOR_RGB2BGR))
+
+        idx_dict, n_ch = make_channel_index_map(self.cfg.decoder_kwargs)
+        canvas = CanvasSet(self.cache_path, tuple(wsi_proc_shape), n_ch)
+
+        patch_inputs, patch_outputs = self.get_coordinates(
+            wsi_proc_shape_xy, ioconfig)
+        sel = filter_coordinates(wsi_mask, patch_outputs, wsi_proc_shape_xy)
+        patch_inputs = patch_inputs[sel]
+        patch_outputs = patch_outputs[sel]
+        logger.info("Preparing Input Output Placement: %.4f"
+                    % (time.perf_counter() - start))
+
+        # ===== inference over grid tiles (set 0 only) ====================
+        start = time.perf_counter()
+        tile_sets = self.get_tile_info(wsi_proc_shape_xy, ioconfig)
+        set_bounds, _set_flags = tile_sets[0]
+        for tile_bounds in set_bounds:
+            tile_sel = assign_patches_to_tiles(patch_outputs, tile_bounds)
+            if len(tile_sel) == 0:
+                continue
+            tile_in = patch_inputs[tile_sel]
+            tile_out = patch_outputs[tile_sel]
+            cursor = 0
+            for batch, valid in self._read_patch_batches(reader, tile_in,
+                                                         resolution):
+                out = np.asarray(
+                    self.run_step(batch, self.patch_output_shape))[:valid]
+                canvas.write_patches(out, tile_out[cursor : cursor + valid])
+                cursor += valid
+        canvas.flush()
+        logger.info("Inference Time: %.4f" % (time.perf_counter() - start))
+
+        # ===== nuclei post-processing (4-set boundary repair) ============
+        start = time.perf_counter()
+        nuclei_inst_info = {}
+        if "Nuclei-INST" in idx_dict:
+            pp_sets = self.get_tile_info(wsi_proc_shape_xy, ioconfig_pp)
+            postproc_code = self.decoder_dict["Nuclei-INST"]
+            for set_idx, (pp_bounds, pp_flags) in enumerate(pp_sets):
+                futures = []
+                for tile_idx, tile_bounds in enumerate(pp_bounds):
+                    if len(assign_patches_to_tiles(patch_outputs,
+                                                   tile_bounds)) == 0 and \
+                       not filter_coordinates(
+                           wsi_mask, tile_bounds[None], wsi_proc_shape_xy)[0]:
+                        continue
+                    ref_uids = list(nuclei_inst_info.keys())
+                    ref_boxes = (np.array([nuclei_inst_info[u]["box"]
+                                           for u in ref_uids])
+                                 if (set_idx == 3 and ref_uids) else
+                                 np.zeros((0, 4)))
+                    args = (canvas.raw_path, canvas.shape, idx_dict["Nuclei-INST"],
+                            idx_dict["Nuclei-TYPE"], tile_bounds,
+                            pp_flags[tile_idx], set_idx,
+                            ref_boxes, ref_uids if set_idx == 3 else [],
+                            ioconfig_pp.margin, postproc_code)
+                    if self._postproc_workers is not None:
+                        futures.append(
+                            self._postproc_workers.submit(
+                                _process_tile_predictions, *args))
+                    else:
+                        futures.append(_process_tile_predictions(*args))
+                for fut in futures:
+                    result = fut.result() if hasattr(fut, "result") else fut
+                    new_dict, remove_uuids = result
+                    nuclei_inst_info.update(new_dict)
+                    for u in remove_uuids:
+                        nuclei_inst_info.pop(u, None)
+        wsi_inst_info = {"Nuclei": nuclei_inst_info}
+        logger.info("Nuclei Post Proc Time: %.4f" % (time.perf_counter() - start))
+
+        # ===== tissue-class map ==========================================
+        start = time.perf_counter()
+        if "Patch-Class" in idx_dict:
+            ds = 0.25
+            pclass = canvas.read_region(
+                (0, 0, int(wsi_proc_shape[1]), int(wsi_proc_shape[0])),
+                channels=[idx_dict["Patch-Class"][0]])[..., 0]
+            pclass = cv2.resize(pclass, (0, 0), fx=ds, fy=ds,
+                                interpolation=cv2.INTER_NEAREST)
+            lores_mask = cv2.resize(wsi_mask, (pclass.shape[1], pclass.shape[0]),
+                                    interpolation=cv2.INTER_NEAREST)
+            pclass *= lores_mask
+            sio.savemat("%s/tissue/%s.mat" % (output_dir, wsi_basename),
+                        {"pclass": pclass})
+        logger.info("Tissue Region Post Proc Time: %.4f"
+                    % (time.perf_counter() - start))
+
+        # ===== gland + lumen per tissue region ===========================
+        start = time.perf_counter()
+        wsi_mask_lab, n_regions = cc_label(wsi_mask)
+        tissue_info_list = []
+        if n_regions >= 1:
+            for region_id in range(1, n_regions + 1):
+                rmin, rmax, cmin, cmax = get_bounding_box(
+                    wsi_mask_lab == region_id)
+                tissue_info_list.append([rmin, rmax, cmin, cmax])
+        else:
+            tissue_info_list.append([0, wsi_mask_lab.shape[0],
+                                     0, wsi_mask_lab.shape[1]])
+
+        gland_inst_info = {}
+        lumen_inst_info = {}
+        target_list = [t for t in ("Gland", "Lumen")
+                       if f"{t}-INST" in idx_dict]
+        for region_idx, tissue_info in enumerate(tissue_info_list):
+            rmin = int(round(tissue_info[0] / mask_downsample_ratio))
+            rmax = int(round(tissue_info[1] / mask_downsample_ratio))
+            cmin = int(round(tissue_info[2] / mask_downsample_ratio))
+            cmax = int(round(tissue_info[3] / mask_downsample_ratio))
+            rmax = min(rmax, int(wsi_proc_shape[0]))
+            cmax = min(cmax, int(wsi_proc_shape[1]))
+            tissue_topleft = np.array([cmin, rmin])
+
+            region_mask = (wsi_mask_lab[tissue_info[0]:tissue_info[1],
+                                        tissue_info[2]:tissue_info[3]]
+                           == region_idx + 1).astype("uint8")
+            region_mask = cv2.resize(region_mask, (cmax - cmin, rmax - rmin),
+                                     interpolation=cv2.INTER_NEAREST)
+            region_mask = region_mask[..., None].astype(np.float32)
+
+            pred_inst_map = {}
+            pred_type_map = {}
+            ds = 0.5
+            for tissue_code in target_list:
+                chans = list(range(*idx_dict[f"{tissue_code}-INST"]))
+                new_idx = {f"{tissue_code}-INST": [0, len(chans)]}
+                if f"{tissue_code}-TYPE" in idx_dict:
+                    t0 = len(chans)
+                    chans += list(range(*idx_dict[f"{tissue_code}-TYPE"]))
+                    new_idx[f"{tissue_code}-TYPE"] = [t0, len(chans)]
+                region = canvas.read_region((cmin, rmin, cmax, rmax),
+                                            channels=chans)
+                region *= region_mask
+                region = cv2.resize(region, (0, 0), fx=ds, fy=ds)
+                if region.ndim == 2:
+                    region = region[..., None]
+                proc_cls = POSTPROC_FUNC_DICT[
+                    self.decoder_dict[f"{tissue_code}-INST"]]
+                inst_map, type_map = proc_cls.post_process(
+                    region, new_idx, tissue_code, ds)
+                pred_inst_map[tissue_code] = inst_map
+                pred_type_map[tissue_code] = type_map
+
+            if "Gland" in pred_inst_map and "Lumen" in pred_inst_map:
+                binary_gland = (pred_inst_map["Gland"] > 0).astype(
+                    pred_inst_map["Lumen"].dtype)
+                pred_inst_map["Lumen"] = binary_gland * pred_inst_map["Lumen"]
+
+            for tissue_code in target_list:
+                info = get_inst_info_dict(pred_inst_map[tissue_code],
+                                          pred_type_map[tissue_code], ds)
+                wsi_info = _info_to_wsi_format(info, tissue_topleft)
+                if tissue_code == "Gland":
+                    gland_inst_info.update(wsi_info)
+                else:
+                    lumen_inst_info.update(wsi_info)
+        if "Gland" in target_list:
+            wsi_inst_info["Gland"] = gland_inst_info
+        if "Lumen" in target_list:
+            wsi_inst_info["Lumen"] = lumen_inst_info
+        logger.info("Gland & Lumen Post Proc Time: %.4f"
+                    % (time.perf_counter() - start))
+
+        wsi_inst_info["proc_resolution"] = {
+            "resolution": self.wsi_proc_mag, "units": "mpp"}
+        wsi_inst_info["base_resolution"] = {
+            "resolution": wsi_base_mpp, "units": "mpp"}
+        wsi_inst_info["proc_dimensions"] = np.asarray(wsi_proc_shape)
+        wsi_inst_info["base_dimensions"] = np.asarray(wsi_base_shape)
+        joblib.dump(wsi_inst_info, "%s/dat/%s.dat" % (output_dir, wsi_basename))
+        canvas.close()
+
+    # ------------------------------------------------------------------
+    def process_wsi_list(self, run_args):
+        self._parse_args(run_args)
+
+        if not os.path.exists(self.cache_path):
+            rm_n_mkdir(self.cache_path)
+        mkdir(self.output_dir + "/dat/")
+        mkdir(self.output_dir + "/tissue/")
+        if getattr(self, "save_thumb", False):
+            mkdir(self.output_dir + "/thumb/")
+        if getattr(self, "save_mask", False):
+            mkdir(self.output_dir + "/mask/")
+        logging_dir = getattr(self, "logging_dir", self.output_dir)
+        mkdir(logging_dir)
+
+        n_heads = len(self.cfg.decoder_kwargs)
+        ioconfig = make_inference_ioconfig(
+            self.wsi_proc_mag, n_heads,
+            tile_shape=int(getattr(self, "chunk_shape", 15000)),
+            margin=int(getattr(self, "ambiguous_size", 64)),
+            patch_input=int(self.patch_input_shape),
+            patch_output=int(self.patch_output_shape))
+        ioconfig_pp = make_postproc_ioconfig(
+            self.wsi_proc_mag,
+            tile_shape=int(getattr(self, "tile_shape", 4096)),
+            margin=int(getattr(self, "ambiguous_size", 64)))
+
+        nr_pp = int(getattr(self, "nr_post_proc_workers", 0) or 0)
+        self._postproc_workers = (ProcessPoolExecutor(nr_pp)
+                                  if nr_pp > 0 else None)
+
+        for wsi_path, mask_path in zip(self.input_list, self.mask_list):
+            wsi_basename = pathlib.Path(wsi_path).stem
+            start = time.perf_counter()
+
+            dt_string = datetime.now().strftime("%d-%m-%Y_%H:%M:%S")
+            log_path = f"{logging_dir}/{wsi_basename}_{dt_string}_std.log"
+            self.logger = logging.getLogger("cerberus_tpu.wsi")
+            fhandler = logging.FileHandler(filename=log_path, mode="w")
+            fhandler.setFormatter(logging.Formatter(
+                "%(asctime)s - %(name)s - %(levelname)s - %(message)s"))
+            self.logger.addHandler(fhandler)
+            self.logger.setLevel(logging.DEBUG)
+
+            if not os.path.exists(
+                    self.output_dir + "/dat/%s.dat" % wsi_basename):
+                self.logger.info(f"Processing {wsi_basename} ...")
+                self.process_single_file(ioconfig, ioconfig_pp, wsi_path,
+                                         mask_path, wsi_basename,
+                                         self.output_dir)
+                self.logger.info("Overall Time: %.4f"
+                                 % (time.perf_counter() - start))
+                self.logger.info("Finish")
+            else:
+                self.logger.warning(f"Skip {wsi_basename} - already processed!")
+            self.logger.removeHandler(fhandler)
+            fhandler.close()
+
+        if self._postproc_workers is not None:
+            self._postproc_workers.shutdown()
+        rm_n_mkdir(self.cache_path)
