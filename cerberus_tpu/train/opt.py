@@ -1,0 +1,171 @@
+"""Training configuration factory + runnable trainer.
+
+Behavioral spec: ``models/opt.py`` — single-phase config: Adam(lr 1e-3,
+betas (0.9, 0.999)), StepLR(75000), 140 epochs (:41-74); engine graph: a
+``train`` engine whose STEP_COMPLETED callbacks are [ScalarMovingAverage,
+TrackLr, PeriodicSaver(2000 steps), VisualizeOutput, LoggingOutput,
+TriggerEngine('infer'), ScheduleLr], and an ``infer`` engine accumulating
+raw outputs into epoch metrics (:80-119).
+
+The reference ships this engine graph with NO top-level launcher
+(SURVEY.md §1); ``build_trainer``/``run_training`` below complete it.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from ..config import ModelConfig
+from ..models.net_desc import head_output_channels, init_net_params
+from .callbacks import (
+    LoggingOutput,
+    PeriodicSaver,
+    ProcessAccumulatedEpochOutput,
+    ScalarMovingAverage,
+    ScheduleLr,
+    TrackLr,
+    TriggerEngine,
+)
+from .engine import Events, NetHolder, RunEngine
+from .metrics import ProcStepRawOutput
+from .steps import (
+    TrainState,
+    head_order,
+    make_lr_schedule,
+    make_optimizer,
+    make_train_step,
+    make_valid_step,
+)
+
+PER_N_STEPS = 2000  # mtl cadence (models/opt.py:23)
+
+
+def get_config(model_kwargs: Dict, loss_kwargs: Dict,
+               optimizer_kwargs: Optional[Dict] = None,
+               nr_epochs: int = 140, per_n_steps: int = PER_N_STEPS) -> Dict:
+    """Single-phase training config (the reference's phase_list schema)."""
+    return {
+        "phase_list": [{
+            "run_info": {
+                "net": {
+                    "model_kwargs": model_kwargs,
+                    "optimizer_kwargs": optimizer_kwargs or
+                        {"lr": 1.0e-3, "betas": (0.9, 0.999)},
+                    "lr_decay_steps": 75000,
+                    "extra_info": {"loss": loss_kwargs},
+                    "pretrained": None,
+                },
+            },
+            "nr_epochs": nr_epochs,
+        }],
+        "per_n_steps": per_n_steps,
+    }
+
+
+def build_trainer(config: Dict, train_loaders: Dict, valid_loaders: Dict,
+                  log_dir: Optional[str] = None, seed: int = 0,
+                  pretrained_params=None):
+    """Build chained train/infer engines for phase 0; returns (train_engine,
+    infer_engine, net_holder)."""
+    phase = config["phase_list"][0]
+    net_cfg = phase["run_info"]["net"]
+    cfg = ModelConfig.from_kwargs(net_cfg["model_kwargs"])
+    loss_kwargs = net_cfg["extra_info"]["loss"]
+    per_n = config.get("per_n_steps", PER_N_STEPS)
+
+    params = (pretrained_params if pretrained_params is not None
+              else init_net_params(jax.random.PRNGKey(seed), cfg))
+    schedule = make_lr_schedule(
+        float(net_cfg["optimizer_kwargs"].get("lr", 1e-3)),
+        int(net_cfg.get("lr_decay_steps", 75000)))
+    train_step, tx = make_train_step(cfg, loss_kwargs,
+                                     net_cfg["optimizer_kwargs"])
+    state = TrainState(params=params, opt_state=tx.init(params),
+                       step=np.int32(0))
+    net = NetHolder(state, train_step=train_step, schedule=schedule,
+                    rng=jax.random.PRNGKey(seed + 1), cfg=cfg,
+                    extra_info=net_cfg["extra_info"])
+    valid_step = make_valid_step(cfg)
+    heads = head_order(cfg)
+    n_ch = head_output_channels(cfg)
+
+    def train_run_step(batch, step_run_info):
+        run_info, _ = step_run_info
+        holder = run_info["net"]
+        new_state, metrics = holder.train_step(holder.state, batch,
+                                               holder.next_rng())
+        holder.state = new_state
+        return {"EMA": {k: float(v) for k, v in metrics.items()},
+                "raw": {"img": batch["img"][:2]}}
+
+    def valid_run_step(batch, step_run_info):
+        run_info, _ = step_run_info
+        holder = run_info["net"]
+        act = valid_step(holder.state.params, batch["img"])
+        pred_labels, true_labels = {}, {}
+        for head in heads:
+            if head not in batch:
+                continue
+            out = np.asarray(act[head])
+            if head == "Patch-Class":
+                pred_labels[head] = out
+                true_labels[head] = np.asarray(batch[head]).reshape(-1)
+            elif head.endswith("-INST"):
+                # fg prob -> class map: argmax over [bg=1-sum(fg), fg...]
+                bg = 1.0 - out.sum(-1, keepdims=True)
+                pred_labels[head] = np.argmax(
+                    np.concatenate([bg, out], -1), -1)
+                true_labels[head] = np.asarray(batch[head])[..., 0]
+            else:
+                pred_labels[head] = np.argmax(out, -1)
+                true_labels[head] = np.asarray(batch[head])[..., 0]
+        return {"raw": {"pred": pred_labels, "true": true_labels,
+                        "dummy": batch["has_target"]}}
+
+    run_info = {"net": net}
+    train_engine = RunEngine("train", train_loaders, train_run_step, run_info)
+    infer_engine = RunEngine("infer", valid_loaders, valid_run_step, run_info)
+
+    proc = ProcStepRawOutput(n_ch, heads)
+    infer_engine.add_event_handler(Events.STEP_COMPLETED, proc)
+    infer_engine.add_event_handler(
+        Events.EPOCH_COMPLETED,
+        ProcessAccumulatedEpochOutput(proc.proc_cum_epoch))
+    infer_engine.add_event_handler(
+        Events.EPOCH_COMPLETED, LoggingOutput(per_n_epoch=1))
+
+    train_engine.add_event_handler(Events.STEP_COMPLETED,
+                                   ScalarMovingAverage(alpha=0.95))
+    train_engine.add_event_handler(Events.STEP_COMPLETED, TrackLr())
+    if log_dir is not None:
+        train_engine.state.logging = True
+        train_engine.state.log_dir = log_dir
+        train_engine.state.log_info = {"yaml_file": f"{log_dir}/stats.yml"}
+        infer_engine.state.logging = True
+        infer_engine.state.log_dir = log_dir
+        infer_engine.state.log_info = train_engine.state.log_info
+        train_engine.add_event_handler(
+            Events.STEP_COMPLETED,
+            PeriodicSaver(per_n_epoch=None, per_n_step=per_n))
+        train_engine.add_event_handler(
+            Events.STEP_COMPLETED,
+            LoggingOutput(per_n_epoch=None, per_n_step=per_n))
+    trigger = TriggerEngine("infer", per_n_epoch=None, per_n_step=per_n)
+    trigger.triggered_engine = infer_engine
+    train_engine.add_event_handler(Events.STEP_COMPLETED, trigger)
+    train_engine.add_event_handler(Events.STEP_COMPLETED, ScheduleLr())
+
+    return train_engine, infer_engine, net
+
+
+def run_training(config: Dict, train_loaders: Dict, valid_loaders: Dict,
+                 log_dir: Optional[str] = None, seed: int = 0,
+                 pretrained_params=None):
+    train_engine, _infer_engine, net = build_trainer(
+        config, train_loaders, valid_loaders, log_dir, seed,
+        pretrained_params)
+    nr_epochs = config["phase_list"][0]["nr_epochs"]
+    train_engine.run(nr_epoch=nr_epochs)
+    return net
