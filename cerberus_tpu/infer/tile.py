@@ -42,12 +42,18 @@ from .manager import InferManager as BaseInferManager
 
 def post_process_tile(canvas: np.ndarray, image_info: dict,
                       postproc_code: dict, postproc_list: list,
-                      decoder_kwargs: dict):
+                      decoder_kwargs: dict, backend: str = "cpu"):
     """Per-tile post-processing on an already-stitched, source-cropped canvas.
 
-    Returns the same tuple as the reference `_post_process_patches`:
+    ``backend='tpu'`` runs the instance kernels on-chip
+    (ops/tpu_postproc.py); 'cpu' is the scipy/cv2 oracle path. Returns the
+    same tuple as the reference `_post_process_patches`:
     (name, src_image, inst_map_dict, inst_info_dict, type_map_dict, pclass_map).
     """
+    if backend == "tpu":
+        from ..ops.tpu_postproc import TPU_POSTPROC_FUNC_DICT as func_dict
+    else:
+        func_dict = POSTPROC_FUNC_DICT
     idx_dict, _ = make_channel_index_map(decoder_kwargs)
 
     pred_inst_map_dict = {}
@@ -57,7 +63,7 @@ def post_process_tile(canvas: np.ndarray, image_info: dict,
     for tissue_code in postproc_list:
         tissue_code = tissue_code.capitalize()
         if tissue_code + "-INST" in postproc_code:
-            proc_cls = POSTPROC_FUNC_DICT[postproc_code[tissue_code + "-INST"]]
+            proc_cls = func_dict[postproc_code[tissue_code + "-INST"]]
             inst_map, type_map = proc_cls.post_process(canvas, idx_dict,
                                                        tissue_code)
             pred_inst_map_dict[tissue_code] = inst_map
@@ -97,13 +103,13 @@ def post_process_tile(canvas: np.ndarray, image_info: dict,
 
 def _stitch_and_postproc(patch_outputs, out_tl_list, canvas_hw, image_info,
                          postproc_code, postproc_list, decoder_kwargs,
-                         average):
+                         average, backend="cpu"):
     canvas = stitch_canvas(patch_outputs, out_tl_list, canvas_hw, average)
     src_pos, src_shape = image_info["src_pos"], image_info["src_shape"]
     canvas = canvas[src_pos[0]: src_pos[0] + src_shape[0],
                     src_pos[1]: src_pos[1] + src_shape[1]]
     return post_process_tile(canvas, image_info, postproc_code,
-                             postproc_list, decoder_kwargs)
+                             postproc_list, decoder_kwargs, backend)
 
 
 class InferManager(BaseInferManager):
@@ -136,8 +142,11 @@ class InferManager(BaseInferManager):
         file_path_list.sort()
         assert len(file_path_list) > 0, "Not Detected Any Files From Path"
 
+        # postproc_backend='tpu' keeps instance postproc on-chip; it runs
+        # in-process (pool workers would re-initialize the device)
+        backend = getattr(self, "postproc_backend", "cpu")
         proc_pool = None
-        if getattr(self, "nr_post_proc_workers", 0) > 0:
+        if getattr(self, "nr_post_proc_workers", 0) > 0 and backend != "tpu":
             proc_pool = ProcessPoolExecutor(self.nr_post_proc_workers)
 
         while len(file_path_list) > 0:
@@ -186,6 +195,7 @@ class InferManager(BaseInferManager):
                     self.postproc_list,
                     self.cfg.decoder_kwargs,
                     self.patch_output_overlap != 0,
+                    backend,
                 )
                 if proc_pool is not None:
                     future_list.append(proc_pool.submit(_stitch_and_postproc,

@@ -1,0 +1,132 @@
+"""On-TPU instance post-processing families.
+
+Same channel/threshold/semantic contract as ops/postproc.py (the CPU oracle,
+pinned to reference ``loader/postproc.py``), composed from the lax kernels in
+ops/lax_postproc.py so raw canvases never leave the chip until they are
+instance label maps. Selected via ``postproc_backend='tpu'`` on the tile
+manager; outputs are label-isomorphic to the CPU path up to:
+
+  * watershed plateau tie-breaks (<= 1 px basin-boundary bands);
+  * instances within ``2*ksize`` of a tile border: the reference's re-growth
+    expands each instance's bbox by the pad only when the whole pad fits
+    inside the image (loader/postproc.py:296-300), so near borders its
+    dilation is clipped at the original bbox; the TPU path grows uniformly
+    everywhere (the clamp is an artifact of the crop-based implementation,
+    not intended behavior).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import lax_postproc as L
+
+
+@partial(jax.jit, static_argnames=("thresh", "min_size", "ksize"))
+def _inner_contour_instances(inner_raw, cnt_raw, thresh: float,
+                             min_size: int, ksize: int):
+    """gland/lumen ErodedContourMap: fg = inner - binarized contour >
+    thresh; small-object removal; label; dilate + fill re-growth."""
+    cnt = (cnt_raw > 0.5).astype(inner_raw.dtype)
+    fg = (inner_raw - cnt) > thresh
+    lab = L.connected_components(fg)
+    lab = L.remove_small_objects(lab, min_size)
+    lab = L.dilate_labels(lab, ksize)
+    return L.fill_label_holes(lab)
+
+
+@partial(jax.jit, static_argnames=())
+def _nuclei_watershed(inner_raw, cnt_raw):
+    """nuclei ErodedContourMap: erode(inner+contour>.5, k3) mask (>=8 px),
+    inner>.5 markers (>=4 px, holes filled), watershed(-inner)."""
+    se3 = L.disk_kernel(3)
+    msk = L.binary_erode((inner_raw + cnt_raw) > 0.5, se3)
+    msk_lab = L.connected_components(msk)
+    msk = L.remove_small_objects(msk_lab, 8) > 0
+
+    mrk_lab = L.connected_components(inner_raw > 0.5)
+    mrk_lab = L.remove_small_objects(mrk_lab, 4)
+    mrk = L.fill_holes(mrk_lab > 0)
+    markers = L.connected_components(mrk)
+    return L.watershed(-inner_raw, markers, msk)
+
+
+@partial(jax.jit, static_argnames=("thresh", "min_size", "ksize"))
+def _eroded_map_instances(fg_raw, thresh: float, min_size: int, ksize: int):
+    """ErodedMap family: threshold, small-object removal, label, regrow."""
+    fg = fg_raw > thresh
+    lab = L.connected_components(fg)
+    lab = L.remove_small_objects(lab, min_size)
+    lab = L.dilate_labels(lab, ksize)
+    return L.fill_label_holes(lab)
+
+
+def _compact_labels(lab: np.ndarray) -> np.ndarray:
+    """Relabel the sparse flattened-index ids to contiguous 1..N (ascending
+    by id, i.e. raster order of component tops — the same ordering scipy's
+    label produces)."""
+    lab = np.asarray(lab)
+    ids = np.unique(lab)
+    ids = ids[ids != 0]
+    lut = np.zeros(int(lab.max()) + 1 if lab.size else 1, np.float64)
+    lut[ids] = np.arange(1, len(ids) + 1)
+    return lut[lab]
+
+
+class TPUPostProcInstErodedMap:
+    _SPEC = {"GLAND": (1500, 11), "LUMEN": (150, 3), "NUCLEI": (8, 3)}
+
+    @classmethod
+    def post_process(cls, raw_map, idx_dict, tissue_mode, ds_factor=1.0):
+        min_size, ksize = cls._SPEC[tissue_mode.upper()]
+        s, e = idx_dict["%s-INST" % tissue_mode]
+        fg = jnp.asarray(np.squeeze(np.asarray(raw_map[..., s:e])))
+        lab = _eroded_map_instances(fg, 0.5, min_size, ksize)
+        inst_map = _compact_labels(lab)
+        type_key = tissue_mode + "-TYPE"
+        type_map = (np.asarray(raw_map[..., idx_dict[type_key][0]:
+                                       idx_dict[type_key][1]])
+                    if type_key in idx_dict else None)
+        return inst_map, type_map
+
+
+class TPUPostProcInstErodedContourMap:
+    _SPEC = {  # tissue -> (thresh, base_min_size, base_ksize)
+        "GLAND": (0.55, 1000, 11),
+        "LUMEN": (0.5, 150, 3),
+    }
+
+    @classmethod
+    def post_process(cls, raw_map, idx_dict, tissue_mode, ds_factor=1.0):
+        s, e = idx_dict["%s-INST" % tissue_mode]
+        fg = np.asarray(raw_map[..., s:e])
+        inner = jnp.asarray(fg[..., 0])
+        cnt = jnp.asarray(fg[..., 1])
+        mode = tissue_mode.upper()
+        if mode == "NUCLEI":
+            lab = _nuclei_watershed(inner, cnt)
+        else:
+            thresh, base_min, base_k = cls._SPEC[mode]
+            lab = _inner_contour_instances(
+                inner, cnt, thresh,
+                int(base_min * ds_factor ** 2),
+                int((base_k - 1) * ds_factor))
+        inst_map = _compact_labels(lab)
+        type_key = tissue_mode + "-TYPE"
+        if type_key in idx_dict:
+            type_map = np.squeeze(np.asarray(
+                raw_map[..., idx_dict[type_key][0]:idx_dict[type_key][1]]))
+        else:
+            type_map = None
+        return inst_map, type_map
+
+
+TPU_POSTPROC_FUNC_DICT = {
+    "IP-ERODED-3": TPUPostProcInstErodedMap,
+    "IP-ERODED-11": TPUPostProcInstErodedMap,
+    "IP-ERODED-CONTOUR-3": TPUPostProcInstErodedContourMap,
+    "IP-ERODED-CONTOUR-11": TPUPostProcInstErodedContourMap,
+}

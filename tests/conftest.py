@@ -12,6 +12,15 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 
+# The axon TPU plugin ignores JAX_PLATFORMS and installs itself as default
+# backend; pin the default device to CPU so the suite is hermetic (mesh tests
+# pass explicit CPU device lists anyway).
+if not os.environ.get("CERBERUS_TEST_TPU"):
+    import jax
+
+    jax.config.update("jax_default_device", jax.devices("cpu")[0])
+
+
 def cpu_mesh_devices():
     """The 8 virtual CPU devices for sharding tests. Some environments force
     an accelerator plugin as default backend regardless of JAX_PLATFORMS, so
