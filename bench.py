@@ -35,25 +35,34 @@ def main() -> None:
         "decoder_kwargs": DEFAULT_DECODER_KWARGS,
         "considered_tasks": list(DEFAULT_DECODER_KWARGS.keys()),
     })
-    params = init_net_params(jax.random.PRNGKey(0), cfg)
+    with jax.default_device(jax.devices("cpu")[0]):
+        params = init_net_params(jax.random.PRNGKey(0), cfg)
+        from cerberus_tpu.models.fused_decoder import build_fused_decoder
+
+        fused, head_specs = build_fused_decoder(params, cfg)
     params = jax.device_put(params)
+    fused = jax.device_put(fused)
 
     @jax.jit
-    def step(p, imgs):
+    def step(p, fz, imgs):
         return fused_infer_outputs(p, imgs, cfg, output_shape=144,
-                                   compute_dtype=jnp.bfloat16)
+                                   compute_dtype=jnp.bfloat16,
+                                   fused=fz, head_specs=head_specs)
 
     rng = np.random.default_rng(0)
     imgs = jax.device_put(
         rng.integers(0, 255, (BATCH, 448, 448, 3)).astype(np.uint8))
 
     for _ in range(WARMUP):
-        step(params, imgs).block_until_ready()
+        np.asarray(step(params, fused, imgs))  # host materialization, not
+        # just block_until_ready: the tunneled device backend acks readiness
+        # before compute completes, so only a D2H copy is a true barrier
 
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = step(params, imgs)
-    out.block_until_ready()
+    outs = [step(params, fused, imgs) for _ in range(ITERS)]
+    _ = np.asarray(outs[-1])
+    for o in outs:
+        _ = np.asarray(o[0, 0, 0])
     dt = time.perf_counter() - t0
 
     tiles_per_sec = BATCH * ITERS / dt

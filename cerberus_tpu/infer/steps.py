@@ -37,10 +37,39 @@ HEAD_NAME_MAP = {
 }
 
 
+def model_head_outputs(params, imgs, cfg: ModelConfig,
+                       compute_dtype=jnp.bfloat16, fused=None,
+                       head_specs=None) -> Dict[str, jnp.ndarray]:
+    """Forward through encoder + decoder bank (+ classifier).
+
+    With ``fused``/``head_specs`` given (models/fused_decoder.py), the five
+    segmentation towers run as one grouped-conv bank; otherwise the
+    sequential reference-shaped path runs. Outputs are identical."""
+    if fused is None:
+        return net_forward(params, imgs, cfg, compute_dtype=compute_dtype)
+    from ..models.backbones import get_backbone
+    from ..models.fused_decoder import fused_decoder_forward
+    from ..models.layers import conv2d
+    from ..models.net_desc import _patch_class_head
+
+    _, backbone_fwd, _ = get_backbone(cfg.encoder_backbone_name)
+    x = imgs.astype(compute_dtype) / jnp.asarray(255.0, compute_dtype)
+    feat_list = backbone_fwd(params, x, "backbone", None)
+    bottom = feat_list[-1]
+    feat_list = feat_list[:-1] + [conv2d(params["conv_map"], bottom,
+                                         padding=0)]
+    out = fused_decoder_forward(fused, head_specs, feat_list, compute_dtype)
+    if "Patch-Class" in cfg.considered_tasks:
+        out["Patch-Class"] = _patch_class_head(params, bottom, None, None)
+    return out
+
+
 def fused_infer_outputs(params, imgs, cfg: ModelConfig, output_shape: int,
-                        compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+                        compute_dtype=jnp.bfloat16, fused=None,
+                        head_specs=None) -> jnp.ndarray:
     """Forward + activations + crop -> (N, output_shape, output_shape, C)."""
-    pred_dict = net_forward(params, imgs, cfg, compute_dtype=compute_dtype)
+    pred_dict = model_head_outputs(params, imgs, cfg, compute_dtype,
+                                   fused, head_specs)
     idx_dict, _n_ch = make_channel_index_map(cfg.decoder_kwargs)
 
     chunks = []
@@ -64,18 +93,28 @@ def fused_infer_outputs(params, imgs, cfg: ModelConfig, output_shape: int,
 
 
 def make_infer_step(params, cfg: ModelConfig, output_shape: int = 144,
-                    compute_dtype=jnp.bfloat16, donate: bool = False):
+                    compute_dtype=jnp.bfloat16, fuse_decoders: bool = True):
     """Build the jitted step: uint8 NHWC batch -> (N, out, out, C) float32.
 
     One compiled program per batch shape; callers pad the final partial batch
-    to a fixed size (shape discipline: SURVEY.md §7 hard-part 5).
+    to a fixed size (shape discipline: SURVEY.md §7 hard-part 5). With
+    ``fuse_decoders`` the five towers run as one grouped-conv bank.
     """
+    fused = head_specs = None
+    if fuse_decoders:
+        try:
+            from ..models.fused_decoder import build_fused_decoder
+
+            fused, head_specs = build_fused_decoder(params, cfg)
+        except KeyError:
+            fused = head_specs = None  # partial-task checkpoints: fall back
 
     @partial(jax.jit, static_argnames=())
-    def step(p, imgs):
-        return fused_infer_outputs(p, imgs, cfg, output_shape, compute_dtype)
+    def step(p, fz, imgs):
+        return fused_infer_outputs(p, imgs, cfg, output_shape, compute_dtype,
+                                   fz, head_specs)
 
-    return lambda imgs: step(params, imgs)
+    return lambda imgs: step(params, fused, imgs)
 
 
 def split_canvas_channels(canvas, decoder_kwargs) -> Dict[str, jnp.ndarray]:

@@ -21,7 +21,8 @@ from typing import Dict, List, Optional
 import jax.numpy as jnp
 from jax import random
 
-from ..layers import batch_norm, conv2d, init_bn, init_conv, max_pool_3x3_s2, relu
+from ..layers import (batch_norm, conv2d, init_bn, init_conv, key_stream,
+                      max_pool_3x3_s2, relu)
 
 # arch -> (block kind, per-stage block counts)
 RESNET_SPECS = {
@@ -47,7 +48,7 @@ def init_resnet_params(rng, arch: str, prefix: str = "backbone") -> Dict:
     block, counts = RESNET_SPECS[arch]
     exp = EXPANSION[block]
     params = {}
-    keys = iter(random.split(rng, 4096))
+    keys = key_stream(rng)
 
     params[f"{prefix}.conv1"] = {
         "kernel": init_conv(next(keys), 7, 7, 3, 64, bias=False)["kernel"]

@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 from jax import random
 
-from ..layers import conv2d, init_bn, init_conv
+from ..layers import conv2d, init_bn, init_conv, key_stream
 from .resnet import apply_bn
 
 STAGE_CH = [(3, 64), (64, 128), (128, 256), (256, 512), (512, 1024)]
@@ -20,7 +20,7 @@ STAGE_CH = [(3, 64), (64, 128), (128, 256), (256, 512), (512, 1024)]
 
 def init_unet_encoder_params(rng, prefix: str = "backbone") -> Dict:
     params = {}
-    keys = iter(random.split(rng, 64))
+    keys = key_stream(rng)
     for stage, (cin, cout) in enumerate(STAGE_CH, start=1):
         params[f"{prefix}.module{stage}.conv1"] = init_conv(next(keys), 3, 3, cin, cout)
         params[f"{prefix}.module{stage}.bn1"] = init_bn(cout)

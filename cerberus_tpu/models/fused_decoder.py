@@ -1,0 +1,158 @@
+"""Fused multi-tower decoder for inference.
+
+The five segmentation decoders (Lumen, Gland, Nuclei, Nuclei#TYPE,
+Gland#TYPE) are structurally identical summation-skip towers that differ
+only in weights (reference ``models/net_desc.py:183-189`` builds five copies
+of the same ConvBlock stack). Running them sequentially issues ~50 small
+64-128 channel convolutions per batch — poor MXU occupancy. This module
+stacks the towers channel-wise and runs the whole decoder bank as:
+
+  * level-1 first conv: ONE plain convolution with 5x output channels (all
+    towers read the identical ``skip + upsample(conv_map(x4))`` input);
+  * every other conv: a feature_group_count=5 grouped convolution over the
+    stacked (N, H, W, 5*C) activation tensor;
+  * heads: grouped 1x1 convs with per-tower output channels padded to the
+    max and sliced back.
+
+Outputs are numerically identical to the sequential path (same dot products,
+same order); a parity test asserts exactness in fp32. Fusion params are
+precomputed once from the flat checkpoint tree (``build_fused_decoder``).
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ModelConfig
+from .backbones import get_backbone
+from .layers import BN_EPS, relu, upsample2x_bilinear
+
+
+def tower_names(cfg: ModelConfig) -> List[str]:
+    return [name for name in cfg.active_decoders() if name != "Patch-Class"]
+
+
+def _stack_conv(params, names, key) -> Dict:
+    kernels = [params[f"{key.format(n)}.conv"]["kernel"] for n in names]
+    biases = [params[f"{key.format(n)}.conv"]["bias"] for n in names]
+    return {"kernel": jnp.concatenate(kernels, axis=3),
+            "bias": jnp.concatenate(biases, axis=0)}
+
+
+def _stack_bn_folded(params, names, key) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Concatenated inference-BN (scale', shift') across towers."""
+    invs, shifts = [], []
+    for n in names:
+        p = params[f"{key.format(n)}.bn"]
+        inv = p["scale"] / jnp.sqrt(p["var"] + BN_EPS)
+        invs.append(inv)
+        shifts.append(p["bias"] - p["mean"] * inv)
+    return jnp.concatenate(invs), jnp.concatenate(shifts)
+
+
+def build_fused_decoder(params, cfg: ModelConfig) -> Tuple[Dict, Tuple]:
+    """Precompute stacked kernels/BN for the decoder bank + heads.
+
+    Returns ``(arrays, head_specs)``: ``arrays`` is an arrays-only pytree
+    (jit-traceable), ``head_specs`` a static tuple of
+    (decoder_name, head_name, out_ch) in tower order."""
+    names = tower_names(cfg)
+    fused = {"levels": []}
+    for blk in range(4):
+        layers = []
+        for layer in range(2):
+            key = "decoder_head.{}" + f".{blk}.block.{layer}"
+            conv = _stack_conv(params, names, key)
+            bn = _stack_bn_folded(params, names, key)
+            layers.append((conv, bn))
+        fused["levels"].append(layers)
+
+    # heads: hidden 1x1 (+BN) then output 1x1 padded to max channels
+    head_specs = []
+    for name in names:
+        heads = dict(cfg.decoder_kwargs[name])
+        (head_name, out_ch), = heads.items()
+        head_specs.append((name, head_name, out_ch))
+    hidden_kernels, hidden_biases, hidden_inv, hidden_shift = [], [], [], []
+    out_kernels, out_biases = [], []
+    max_out = max(s[2] for s in head_specs)
+    for name, head_name, out_ch in head_specs:
+        base = f"output_head.{name}.{head_name}.x"
+        hidden_kernels.append(params[f"{base}.0.block.0.conv"]["kernel"])
+        hidden_biases.append(params[f"{base}.0.block.0.conv"]["bias"])
+        bnp = params[f"{base}.0.block.0.bn"]
+        inv = bnp["scale"] / jnp.sqrt(bnp["var"] + BN_EPS)
+        hidden_inv.append(inv)
+        hidden_shift.append(bnp["bias"] - bnp["mean"] * inv)
+        k = params[f"{base}.1.conv"]["kernel"]
+        b = params[f"{base}.1.conv"]["bias"]
+        pad = max_out - out_ch
+        out_kernels.append(jnp.pad(k, ((0, 0), (0, 0), (0, 0), (0, pad))))
+        out_biases.append(jnp.pad(b, (0, pad)))
+    fused["head_hidden"] = {
+        "kernel": jnp.concatenate(hidden_kernels, axis=3),
+        "bias": jnp.concatenate(hidden_biases, axis=0),
+        "inv": jnp.concatenate(hidden_inv),
+        "shift": jnp.concatenate(hidden_shift),
+    }
+    fused["head_out"] = {
+        "kernel": jnp.concatenate(out_kernels, axis=3),
+        "bias": jnp.concatenate(out_biases, axis=0),
+    }
+    return fused, tuple(head_specs)
+
+
+def _grouped_conv(x, kernel, bias, groups, padding):
+    out = jax.lax.conv_general_dilated(
+        x, kernel.astype(x.dtype), (1, 1),
+        [(padding, padding), (padding, padding)],
+        feature_group_count=groups,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x.dtype,
+    )
+    return out + bias.astype(x.dtype)
+
+
+def fused_decoder_forward(fused: Dict, head_specs: Tuple, feat_list,
+                          compute_dtype=jnp.bfloat16
+                          ) -> Dict[str, jnp.ndarray]:
+    """feat_list: encoder pyramid with conv_map applied to the last level.
+    ``head_specs`` is the static tuple from build_fused_decoder. Returns
+    {head_code: (N, H, W, out_ch) logits} for the towers."""
+    n_towers = len(head_specs)
+
+    prev = None  # fused (N,H,W,T*C) after first level
+    for idx in range(1, len(feat_list)):
+        skip = feat_list[-(idx + 1)].astype(compute_dtype)
+        layers = fused["levels"][idx - 1]
+        if prev is None:
+            # all towers share this input: first conv is a plain widened conv
+            up = upsample2x_bilinear(feat_list[-1].astype(compute_dtype))
+            x = skip + up
+            (conv, bn) = layers[0]
+            x = _grouped_conv(x, conv["kernel"], conv["bias"], 1, 1)
+        else:
+            up = upsample2x_bilinear(prev)
+            x = jnp.tile(skip, (1, 1, 1, n_towers)) + up
+            (conv, bn) = layers[0]
+            x = _grouped_conv(x, conv["kernel"], conv["bias"], n_towers, 1)
+        x = relu(x * bn[0].astype(x.dtype) + bn[1].astype(x.dtype))
+        (conv, bn) = layers[1]
+        x = _grouped_conv(x, conv["kernel"], conv["bias"], n_towers, 1)
+        prev = relu(x * bn[0].astype(x.dtype) + bn[1].astype(x.dtype))
+
+    hh = fused["head_hidden"]
+    x = _grouped_conv(prev, hh["kernel"], hh["bias"], n_towers, 0)
+    x = relu(x * hh["inv"].astype(x.dtype) + hh["shift"].astype(x.dtype))
+    ho = fused["head_out"]
+    x = _grouped_conv(x, ho["kernel"], ho["bias"], n_towers, 0)
+
+    out = {}
+    max_out = max(s[2] for s in head_specs)
+    for t, (name, head_name, out_ch) in enumerate(head_specs):
+        code = name.split("#")[0] + "-" + head_name
+        out[code] = x[..., t * max_out : t * max_out + out_ch]
+    return out

@@ -141,6 +141,14 @@ def dropout(x, rate: float, rng):
 # initializers (match reference models/utils/__init__.py:10-20)
 # ---------------------------------------------------------------------------
 
+def key_stream(rng):
+    """Infinite generator of derived PRNG keys via fold_in — avoids
+    materializing and host-iterating a giant split() array."""
+    import itertools
+
+    return (jax.random.fold_in(rng, i) for i in itertools.count())
+
+
 def kaiming_normal_fan_out(rng, shape_hwio):
     """Kaiming-normal, mode=fan_out, relu gain — torch's
     ``nn.init.kaiming_normal_(w, mode='fan_out', nonlinearity='relu')``."""

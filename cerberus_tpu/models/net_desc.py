@@ -41,6 +41,7 @@ from .layers import (
     global_avg_pool,
     init_bn,
     init_conv,
+    key_stream,
     relu,
     upsample2x_bilinear,
 )
@@ -96,7 +97,7 @@ def init_net_params(rng, cfg: ModelConfig) -> Dict:
     """Build the full parameter tree with reference-equivalent initialization
     (kaiming fan_out for convs, unit/zero BN — models/utils/__init__.py:10-20)."""
     init_backbone, _fwd, filters = get_backbone(cfg.encoder_backbone_name)
-    keys = iter(random.split(rng, 8192))
+    keys = key_stream(rng)
     params = init_backbone(next(keys), "backbone")
     params["conv_map"] = {
         "kernel": _torch_default_conv_init(next(keys), 1, 1, filters[-1],
