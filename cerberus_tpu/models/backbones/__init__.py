@@ -41,6 +41,26 @@ def get_backbone(backbone_name: str):
 
         return (init_unet_encoder_params, unet_encoder_forward,
                 FILTER_INFO[backbone_name])
+    if backbone_name == "densenet121":
+        from .densenet import densenet121_forward, init_densenet121_params
+
+        return (init_densenet121_params, densenet121_forward,
+                FILTER_INFO[backbone_name])
+    if backbone_name == "mobilenet_v2":
+        from .mobilenet import init_mobilenet_v2_params, mobilenet_v2_forward
+
+        return (init_mobilenet_v2_params, mobilenet_v2_forward,
+                FILTER_INFO[backbone_name])
+    if backbone_name.startswith("dsf_cnn"):
+        from .dsf_cnn import init_dsf_cnn_params, make_dsf_cnn_forward
+
+        nr_orients = int(backbone_name.split("_")[-1])
+
+        def init_fn(rng, prefix="backbone"):
+            return init_dsf_cnn_params(rng, nr_orients, prefix)
+
+        return (init_fn, make_dsf_cnn_forward(nr_orients),
+                FILTER_INFO[backbone_name])
     raise NotImplementedError(
         f"backbone '{backbone_name}' not yet available in cerberus_tpu"
     )

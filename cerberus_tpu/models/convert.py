@@ -43,14 +43,22 @@ def convert_torch_state_dict(state_dict: Dict) -> Dict:
         leaf_name, attr = key.rsplit(".", 1)
         if attr == "num_batches_tracked":
             continue
+        if attr == "basis_filters":
+            # registered buffer of constant steerable basis filters — we
+            # regenerate them at trace time (models/gconv.py), never stored
+            continue
         leaf = params.setdefault(leaf_name, {})
         if attr == "weight":
             if value.ndim == 4:  # conv OIHW -> HWIO
                 leaf["kernel"] = np.transpose(value, (2, 3, 1, 0)).copy()
             elif value.ndim == 1:  # norm scale
                 leaf["scale"] = value.astype(np.float32)
-            else:  # linear (unused by NetDesc, kept for generality): (O,I)->(I,O)
+            elif value.ndim == 8:  # steerable G-conv coefficients, kept as-is
+                leaf["gweight"] = value.astype(np.float32)
+            elif value.ndim == 2:  # linear: (O,I) -> (I,O)
                 leaf["kernel"] = value.T.copy()
+            else:
+                raise ValueError(f"unrecognized weight rank for {key}")
         elif attr == "bias":
             leaf["bias"] = value.astype(np.float32)
         elif attr == "running_mean":

@@ -93,16 +93,28 @@ def _torch_default_conv_init(rng, kh, kw, cin, cout, bias=False):
     return p
 
 
+def _is_dsf(cfg: ModelConfig) -> bool:
+    return cfg.encoder_backbone_name[:3] == "dsf"
+
+
+def _nr_orients(cfg: ModelConfig) -> int:
+    return int(cfg.encoder_backbone_name.split("_")[-1])
+
+
 def init_net_params(rng, cfg: ModelConfig) -> Dict:
     """Build the full parameter tree with reference-equivalent initialization
-    (kaiming fan_out for convs, unit/zero BN — models/utils/__init__.py:10-20)."""
+    (kaiming fan_out for convs, unit/zero BN — models/utils/__init__.py:10-20;
+    basis-count-scaled normal for G-convs, :23-30)."""
     init_backbone, _fwd, filters = get_backbone(cfg.encoder_backbone_name)
     keys = key_stream(rng)
     params = init_backbone(next(keys), "backbone")
-    params["conv_map"] = {
-        "kernel": _torch_default_conv_init(next(keys), 1, 1, filters[-1],
-                                           filters[-2])["kernel"]
-    }
+    dsf = _is_dsf(cfg)
+    if not dsf:
+        # conv_map is identity for dsf nets (net_desc.py:51-54)
+        params["conv_map"] = {
+            "kernel": _torch_default_conv_init(next(keys), 1, 1, filters[-1],
+                                               filters[-2])["kernel"]
+        }
 
     for decoder_name, heads in cfg.decoder_info:
         if decoder_name not in cfg.considered_tasks:
@@ -123,15 +135,35 @@ def init_net_params(rng, cfg: ModelConfig) -> Dict:
             (filters[-5], [filters[-5], filters[-5]]),
         ]
         for blk_idx, (in_ch, unit_ch) in enumerate(spec):
-            _init_conv_block(params, keys,
-                             f"decoder_head.{decoder_name}.{blk_idx}",
-                             in_ch, unit_ch, ksize=3)
+            name = f"decoder_head.{decoder_name}.{blk_idx}"
+            if dsf:
+                from .gconv import init_gconv
+
+                nr = _nr_orients(cfg)
+                cur = in_ch
+                for li, out_c in enumerate(unit_ch):
+                    params[f"{name}.block.{li}.pre_bn.norm"] = init_bn(cur)
+                    params[f"{name}.block.{li}.conv"] = init_gconv(
+                        next(keys), 7, nr, cur, out_c)
+                    cur = out_c
+            else:
+                _init_conv_block(params, keys, name, in_ch, unit_ch, ksize=3)
         for head_name, out_ch in heads:
-            base = f"output_head.{decoder_name}.{head_name}.x"
-            _init_conv_block(params, keys, f"{base}.0", filters[-5],
-                             [CLS_HEAD_INT_CH], ksize=1)
-            params[f"{base}.1.conv"] = init_conv(next(keys), 1, 1,
-                                                 CLS_HEAD_INT_CH, out_ch)
+            if dsf:
+                # ConvBlock_PreAct head (net_layers.py:33-34): bn-relu-conv x2
+                base = f"output_head.{decoder_name}.{head_name}"
+                params[f"{base}.block.0.bn"] = init_bn(filters[-5])
+                params[f"{base}.block.0.conv"] = init_conv(
+                    next(keys), 1, 1, filters[-5], CLS_HEAD_INT_CH)
+                params[f"{base}.block.1.bn"] = init_bn(CLS_HEAD_INT_CH)
+                params[f"{base}.block.1.conv"] = init_conv(
+                    next(keys), 1, 1, CLS_HEAD_INT_CH, out_ch)
+            else:
+                base = f"output_head.{decoder_name}.{head_name}.x"
+                _init_conv_block(params, keys, f"{base}.0", filters[-5],
+                                 [CLS_HEAD_INT_CH], ksize=1)
+                params[f"{base}.1.conv"] = init_conv(next(keys), 1, 1,
+                                                     CLS_HEAD_INT_CH, out_ch)
     return params
 
 
@@ -152,6 +184,24 @@ def _decoder_tower(params, decoder_name, feat_list, bn_sink):
         prev = upsample2x_bilinear(prev)
         prev = _conv_block(params, f"decoder_head.{decoder_name}.{idx - 1}",
                            feat_list[-(idx + 1)] + prev, 2, bn_sink)
+    return prev
+
+
+def _gconv_decoder_tower(params, decoder_name, feat_list, nr, bn_sink):
+    """DSF decoder: preact G-conv blocks (GConvBlock k7,
+    net_layers.py:16-21)."""
+    from .gconv import g_batch_norm, gconv2d
+
+    prev = feat_list[-1]
+    for idx in range(1, len(feat_list)):
+        prev = upsample2x_bilinear(prev)
+        x = feat_list[-(idx + 1)] + prev
+        name = f"decoder_head.{decoder_name}.{idx - 1}"
+        for li in range(2):
+            bn_name = f"{name}.block.{li}.pre_bn.norm"
+            x = relu(g_batch_norm(params[bn_name], x, nr, bn_sink, bn_name))
+            x = gconv2d(params[f"{name}.block.{li}.conv"], x, 7, nr, nr)
+        prev = x
     return prev
 
 
@@ -187,12 +237,14 @@ def net_forward(
     """
     training = bn_sink is not None
     _init_fn, backbone_fwd, _filters = get_backbone(cfg.encoder_backbone_name)
+    dsf = _is_dsf(cfg)
 
     x = imgs.astype(compute_dtype) / jnp.asarray(255.0, compute_dtype)
     feat_list = backbone_fwd(params, x, "backbone", bn_sink)
     bottom_feats = feat_list[-1]
-    feat_list = feat_list[:-1] + [conv2d(params["conv_map"], bottom_feats,
-                                         padding=0)]
+    if not dsf:
+        feat_list = feat_list[:-1] + [conv2d(params["conv_map"], bottom_feats,
+                                             padding=0)]
 
     def branch_trainable(decoder_name: str) -> bool:
         flag = decoder_name in train_decoder_list
@@ -209,17 +261,39 @@ def net_forward(
         if decoder_name not in cfg.considered_tasks:
             continue
         if decoder_name == "Patch-Class":
+            if dsf:
+                raise NotImplementedError(
+                    "Patch-Class head assumes 512-ch bottom features "
+                    "(net_desc.py:68) and is incompatible with dsf encoders "
+                    "in the reference as well")
             out = _patch_class_head(params, bottom_feats, bn_sink,
                                     dropout_rng if training else None)
             if training and not branch_trainable(decoder_name):
                 out = jax.lax.stop_gradient(out)
             output_dict["Patch-Class"] = out
             continue
-        prev = _decoder_tower(params, decoder_name, feat_list, bn_sink)
+        if dsf:
+            from .gconv import group_pool
+
+            nr = _nr_orients(cfg)
+            prev = _gconv_decoder_tower(params, decoder_name, feat_list, nr,
+                                        bn_sink)
+            prev = group_pool(prev, nr, "max")
+        else:
+            prev = _decoder_tower(params, decoder_name, feat_list, bn_sink)
         for head_name, _out_ch in heads:
-            base = f"output_head.{decoder_name}.{head_name}.x"
-            out = _conv_block(params, f"{base}.0", prev, 1, bn_sink)
-            out = conv2d(params[f"{base}.1.conv"], out, padding=0)
+            if dsf:
+                base = f"output_head.{decoder_name}.{head_name}"
+                out = prev
+                for li in range(2):
+                    out = relu(apply_bn(params, f"{base}.block.{li}.bn", out,
+                                        bn_sink))
+                    out = conv2d(params[f"{base}.block.{li}.conv"], out,
+                                 padding=0)
+            else:
+                base = f"output_head.{decoder_name}.{head_name}.x"
+                out = _conv_block(params, f"{base}.0", prev, 1, bn_sink)
+                out = conv2d(params[f"{base}.1.conv"], out, padding=0)
             if training and not branch_trainable(decoder_name):
                 out = jax.lax.stop_gradient(out)
             output_dict[decoder_name.split("#")[0] + "-" + head_name] = out
