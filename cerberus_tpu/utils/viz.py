@@ -113,6 +113,79 @@ def visualize_instances_map(input_image, inst_map, type_map=None,
     return overlay
 
 
+def visualize_graph(vertices, edges, canvas=None, edge_color=(0, 255, 0),
+                    node_color=(255, 0, 0)):
+    """Draw a spatial graph (reference misc/viz_utils.py:217-246)."""
+    if canvas is None:
+        x_max = np.max(vertices[:, 0])
+        y_max = np.max(vertices[:, 1])
+        canvas = np.zeros([int(round(y_max)), int(round(x_max)), 3])
+    rounded = (np.asarray(vertices) + 0.5).astype("int32")
+    for edge in edges:
+        cv2.line(canvas, tuple(rounded[edge[0]]), tuple(rounded[edge[1]]),
+                 edge_color, 2)
+    for vertex in rounded:
+        cv2.circle(canvas, tuple(vertex), 8, node_color, -1)
+    return canvas
+
+
+def gen_figure(imgs_list, titles, fig_inch=None, shape=None,
+               colormap=None):
+    """Grid figure of images with titles (misc/viz_utils.py:249-293)."""
+    import math
+
+    import matplotlib.pyplot as plt
+
+    if colormap is None:
+        colormap = plt.get_cmap("jet")
+    num_img = len(imgs_list)
+    if shape is None:
+        ncols = math.ceil(math.sqrt(num_img))
+        nrows = math.ceil(num_img / ncols)
+    else:
+        nrows, ncols = shape
+    fig, axes = plt.subplots(nrows=nrows, ncols=ncols, squeeze=False)
+    for idx in range(nrows * ncols):
+        cell = axes[idx // ncols][idx % ncols]
+        cell.axis("off")
+        if idx < num_img:
+            cell.set_title(titles[idx])
+            cell.imshow(imgs_list[idx], cmap=colormap)
+    fig.tight_layout()
+    return fig
+
+
+def plot_roc(y_true_list, y_prob_list, names, save_path, title="ROC"):
+    """Mean ROC with +-1 std band across folds (misc/viz_utils.py:296-341)."""
+    import matplotlib.pyplot as plt
+    from sklearn.metrics import auc, roc_curve
+
+    mean_fp = np.linspace(0, 1, 100)
+    tp_list, auc_list = [], []
+    for y, p in zip(y_true_list, y_prob_list):
+        fp, tp, _ = roc_curve(y, p)
+        auc_list.append(auc(fp, tp))
+        interp_tp = np.interp(mean_fp, fp, tp)
+        interp_tp[0] = 0.0
+        tp_list.append(interp_tp)
+    fig, ax = plt.subplots()
+    mean_tp = np.mean(tp_list, axis=0)
+    mean_tp[-1] = 1.0
+    ax.plot(mean_fp, mean_tp, color="b",
+            label=r"Mean ROC (AUC = %0.2f $\pm$ %0.2f)"
+                  % (auc(mean_fp, mean_tp), np.std(auc_list)), lw=2,
+            alpha=0.8)
+    std_tp = np.std(tp_list, axis=0)
+    ax.fill_between(mean_fp, np.maximum(mean_tp - std_tp, 0),
+                    np.minimum(mean_tp + std_tp, 1), color="grey",
+                    alpha=0.2, label=r"$\pm$ 1 std. dev.")
+    ax.set(xlim=[-0.05, 1.05], ylim=[-0.05, 1.05], title=title)
+    ax.legend(loc="lower right")
+    ax.grid(True)
+    fig.savefig(save_path)
+    plt.close(fig)
+
+
 def visualize_instances_dict(input_image, inst_dict_all, viz_info=None):
     """Overlay from per-tissue instance-info dicts, draw order
     Gland -> Lumen -> Nuclei (reference ``visualize_instances_dict_orig``)."""
