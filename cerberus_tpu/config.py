@@ -69,6 +69,13 @@ class ModelConfig:
     def decoder_kwargs(self) -> Dict[str, Dict[str, int]]:
         return {name: dict(heads) for name, heads in self.decoder_info}
 
+    @property
+    def active_decoder_kwargs(self) -> Dict[str, Dict[str, int]]:
+        """decoder_kwargs restricted to considered tasks — the canvas
+        channel layout for partial-task checkpoints."""
+        return {name: dict(heads) for name, heads in self.decoder_info
+                if name in self.considered_tasks}
+
     def active_decoders(self) -> List[str]:
         return [name for name, _ in self.decoder_info if name in self.considered_tasks]
 

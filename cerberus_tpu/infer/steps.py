@@ -70,7 +70,9 @@ def fused_infer_outputs(params, imgs, cfg: ModelConfig, output_shape: int,
     """Forward + activations + crop -> (N, output_shape, output_shape, C)."""
     pred_dict = model_head_outputs(params, imgs, cfg, compute_dtype,
                                    fused, head_specs)
-    idx_dict, _n_ch = make_channel_index_map(cfg.decoder_kwargs)
+    # only considered tasks contribute canvas channels (partial-task
+    # checkpoints, e.g. nuclei-only configs)
+    idx_dict, _n_ch = make_channel_index_map(cfg.active_decoder_kwargs)
 
     chunks = []
     for head_code, _slc in idx_dict.items():

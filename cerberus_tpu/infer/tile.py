@@ -193,7 +193,7 @@ class InferManager(BaseInferManager):
                     image_info,
                     self.decoder_dict,
                     self.postproc_list,
-                    self.cfg.decoder_kwargs,
+                    self.cfg.active_decoder_kwargs,
                     self.patch_output_overlap != 0,
                     backend,
                 )

@@ -163,7 +163,6 @@ class InferManager(BaseInferManager):
     # ------------------------------------------------------------------
     def process_single_file(self, ioconfig, ioconfig_pp, wsi_path, mask_path,
                             wsi_basename, output_dir):
-        rm_n_mkdir(self.cache_path)
         logger = self.logger
 
         start = time.perf_counter()
@@ -193,8 +192,39 @@ class InferManager(BaseInferManager):
             cv2.imwrite(f"{output_dir}/thumb/{wsi_basename}.png",
                         cv2.cvtColor(thumb, cv2.COLOR_RGB2BGR))
 
-        idx_dict, n_ch = make_channel_index_map(self.cfg.decoder_kwargs)
-        canvas = CanvasSet(self.cache_path, tuple(wsi_proc_shape), n_ch)
+        idx_dict, n_ch = make_channel_index_map(self.cfg.active_decoder_kwargs)
+
+        # --- mid-slide resume: the disk canvas + a tile-progress marker let
+        # a preempted job continue this slide where it stopped (SURVEY.md §5
+        # failure-recovery rebuild note); any mismatch wipes the cache.
+        import json as _json
+
+        progress_path = os.path.join(self.cache_path, "progress.json")
+        done_tiles = set()
+        resume = False
+        if os.path.exists(progress_path):
+            try:
+                with open(progress_path) as handle:
+                    meta = _json.load(handle)
+                if (meta.get("slide") == wsi_basename
+                        and meta.get("shape") == list(map(int, wsi_proc_shape))
+                        and meta.get("n_ch") == n_ch):
+                    done_tiles = set(meta.get("done_tiles", []))
+                    resume = True
+            except Exception:
+                resume = False
+        if not resume:
+            rm_n_mkdir(self.cache_path)
+        canvas = CanvasSet(self.cache_path, tuple(wsi_proc_shape), n_ch,
+                           resume=resume)
+
+        def save_progress():
+            with open(progress_path + ".tmp", "w") as handle:
+                _json.dump({"slide": wsi_basename,
+                            "shape": list(map(int, wsi_proc_shape)),
+                            "n_ch": n_ch,
+                            "done_tiles": sorted(done_tiles)}, handle)
+            os.replace(progress_path + ".tmp", progress_path)
 
         patch_inputs, patch_outputs = self.get_coordinates(
             wsi_proc_shape_xy, ioconfig)
@@ -208,20 +238,24 @@ class InferManager(BaseInferManager):
         start = time.perf_counter()
         tile_sets = self.get_tile_info(wsi_proc_shape_xy, ioconfig)
         set_bounds, _set_flags = tile_sets[0]
-        for tile_bounds in set_bounds:
-            tile_sel = assign_patches_to_tiles(patch_outputs, tile_bounds)
-            if len(tile_sel) == 0:
+        for tile_idx, tile_bounds in enumerate(set_bounds):
+            if tile_idx in done_tiles:
                 continue
-            tile_in = patch_inputs[tile_sel]
-            tile_out = patch_outputs[tile_sel]
-            cursor = 0
-            for batch, valid in self._read_patch_batches(reader, tile_in,
-                                                         resolution):
-                out = np.asarray(
-                    self.run_step(batch, self.patch_output_shape))[:valid]
-                canvas.write_patches(out, tile_out[cursor : cursor + valid])
-                cursor += valid
-        canvas.flush()
+            tile_sel = assign_patches_to_tiles(patch_outputs, tile_bounds)
+            if len(tile_sel) > 0:
+                tile_in = patch_inputs[tile_sel]
+                tile_out = patch_outputs[tile_sel]
+                cursor = 0
+                for batch, valid in self._read_patch_batches(reader, tile_in,
+                                                             resolution):
+                    out = np.asarray(
+                        self.run_step(batch, self.patch_output_shape))[:valid]
+                    canvas.write_patches(out,
+                                         tile_out[cursor : cursor + valid])
+                    cursor += valid
+                canvas.flush()
+            done_tiles.add(tile_idx)
+            save_progress()
         logger.info("Inference Time: %.4f" % (time.perf_counter() - start))
 
         # ===== nuclei post-processing (4-set boundary repair) ============
@@ -369,6 +403,16 @@ class InferManager(BaseInferManager):
     def process_wsi_list(self, run_args):
         self._parse_args(run_args)
 
+        # multi-host: each process takes a strided slice of this job's
+        # slides (parallel/distributed.py); single-process is a no-op
+        from ..parallel.distributed import process_info, shard_slides
+
+        pid, pcount = process_info()
+        if pcount > 1:
+            self.input_list, self.mask_list = shard_slides(
+                self.input_list, self.mask_list, pid, pcount)
+            self.cache_path = f"{self.cache_path}_host{pid}"
+
         if not os.path.exists(self.cache_path):
             rm_n_mkdir(self.cache_path)
         mkdir(self.output_dir + "/dat/")
@@ -380,7 +424,7 @@ class InferManager(BaseInferManager):
         logging_dir = getattr(self, "logging_dir", self.output_dir)
         mkdir(logging_dir)
 
-        n_heads = len(self.cfg.decoder_kwargs)
+        n_heads = len(self.cfg.active_decoder_kwargs)
         ioconfig = make_inference_ioconfig(
             self.wsi_proc_mag, n_heads,
             tile_shape=int(getattr(self, "chunk_shape", 15000)),

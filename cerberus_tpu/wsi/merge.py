@@ -27,13 +27,23 @@ import numpy as np
 
 class CanvasSet:
     def __init__(self, cache_dir: str, canvas_hw, n_ch: int,
-                 dtype=np.float16, track_count: bool = False):
+                 dtype=np.float16, track_count: bool = False,
+                 resume: bool = False):
         self.cache_dir = cache_dir
         self.shape = (int(canvas_hw[0]), int(canvas_hw[1]), n_ch)
         os.makedirs(cache_dir, exist_ok=True)
         self.raw_path = os.path.join(cache_dir, "raw.npy")
-        self.raw = np.lib.format.open_memmap(
-            self.raw_path, mode="w+", dtype=dtype, shape=self.shape)
+        if resume and os.path.exists(self.raw_path):
+            existing = np.lib.format.open_memmap(self.raw_path, mode="r+")
+            if existing.shape == self.shape and existing.dtype == dtype:
+                self.raw = existing  # mid-slide resume: keep written tiles
+            else:
+                del existing
+                self.raw = np.lib.format.open_memmap(
+                    self.raw_path, mode="w+", dtype=dtype, shape=self.shape)
+        else:
+            self.raw = np.lib.format.open_memmap(
+                self.raw_path, mode="w+", dtype=dtype, shape=self.shape)
         self.count = None
         if track_count:
             self.count_path = os.path.join(cache_dir, "count.npy")
