@@ -227,18 +227,25 @@ class InferManager(BaseInferManager):
         batch_size = int(self.batch_size)
         in_shape = int(self.patch_input_shape)
 
-        jobs = []  # (file_idx, input_tl)
+        from ..native import gather_patches
+
+        jobs = []  # (file_idx, within-file patch index)
+        file_patches = []
         for file_idx, info in enumerate(cache_infos):
-            for p in info["patch_info"]:
-                jobs.append((file_idx, p[0, 0]))
+            # one native threaded gather per file: all windows packed in a
+            # single pass over the padded image
+            coords = info["patch_info"][:, 0, 0]  # input window TLs (y, x)
+            file_patches.append(
+                gather_patches(cache_images[file_idx], coords, in_shape,
+                               in_shape))
+            jobs.extend((file_idx, pi) for pi in range(len(coords)))
 
         device_batches = []
         for start in range(0, len(jobs), batch_size):
             chunk = jobs[start : start + batch_size]
             batch = np.zeros((batch_size, in_shape, in_shape, 3), np.uint8)
-            for bi, (file_idx, (ty, tx)) in enumerate(chunk):
-                batch[bi] = cache_images[file_idx][ty : ty + in_shape,
-                                                   tx : tx + in_shape]
+            for bi, (file_idx, pi) in enumerate(chunk):
+                batch[bi] = file_patches[file_idx][pi]
             device_batches.append(
                 (self.run_step(batch, self.patch_output_shape), len(chunk))
             )

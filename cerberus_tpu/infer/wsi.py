@@ -152,12 +152,16 @@ class InferManager(BaseInferManager):
             return reader.read_bounds(bounds, **resolution)
 
         workers = int(getattr(self, "nr_inference_workers", 8) or 8)
+        use_batch_reader = hasattr(reader, "read_batch")
         with ThreadPoolExecutor(max_workers=workers) as pool:
             for start in range(0, len(patch_inputs), batch_size):
                 chunk = patch_inputs[start : start + batch_size]
                 batch = np.zeros((batch_size, in_h, in_w, 3), np.uint8)
-                for bi, patch in enumerate(pool.map(read_one, chunk)):
-                    batch[bi] = patch
+                if use_batch_reader:
+                    batch[: len(chunk)] = reader.read_batch(chunk, **resolution)
+                else:
+                    for bi, patch in enumerate(pool.map(read_one, chunk)):
+                        batch[bi] = patch
                 yield batch, len(chunk)
 
     # ------------------------------------------------------------------

@@ -125,6 +125,25 @@ class NpyPyramidReader(WSIReader):
             region = np.repeat(region[..., None], 3, axis=-1)
         return region.astype(np.uint8)
 
+    def read_batch(self, bounds_list, resolution: float, units: str = "mpp"
+                   ) -> np.ndarray:
+        """Batched window read. At native scale this is ONE threaded C++
+        gather straight off the level-0 memmap (cerberus_tpu.native) — the
+        fast path feeding the jitted step; other scales fall back to
+        per-window reads."""
+        scale = self._scale_for(resolution, units)
+        bounds = np.asarray(bounds_list)
+        win_w = int(bounds[0, 2] - bounds[0, 0])
+        win_h = int(bounds[0, 3] - bounds[0, 1])
+        if abs(scale - 1.0) < 1e-9 and self._level0.ndim == 3 \
+                and self._level0.shape[2] == 3:
+            from ..native import gather_patches
+
+            coords_yx = bounds[:, [1, 0]]
+            return gather_patches(self._level0, coords_yx, win_h, win_w)
+        return np.stack([self.read_bounds(b, resolution, units)
+                         for b in bounds])
+
 
 class ImageReader(NpyPyramidReader):
     """png/jpg behind the WSIReader API (loaded fully; small inputs only)."""
