@@ -1,0 +1,114 @@
+"""Pallas TPU kernel: VMEM-resident connected-component labeling.
+
+The lax implementation (ops/lax_postproc.connected_components) runs one XLA
+while_loop iteration per propagation sweep; each sweep is a separate fused
+kernel whose label map round-trips HBM. A 448^2 int32 label map is ~800 KB —
+it fits comfortably in VMEM (~16 MB/core), so this kernel keeps the whole
+fixed-point loop on-chip: load the mask once, iterate min-label propagation
+entirely in vector registers/VMEM, store the result once.
+
+Semantics identical to the lax/scipy versions: 4-connectivity, component id
+= min flattened index + 1, background 0. Shapes are padded to (8, 128)
+tiles; the padded border is treated as background.
+
+Falls back to the lax implementation on backends without Mosaic (tests run
+the kernel in interpreter mode on CPU).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import lax_postproc
+
+
+def _cc_kernel(mask_ref, out_ref):
+    mask = mask_ref[:] != 0
+    h, w = mask.shape
+    big = jnp.int32(h * w + 2)
+    row = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    lab0 = jnp.where(mask, row * w + col + 1, big)
+
+    def neighbor_min(lab):
+        up = jnp.concatenate([jnp.full((1, w), big, jnp.int32), lab[:-1]], 0)
+        down = jnp.concatenate([lab[1:], jnp.full((1, w), big, jnp.int32)], 0)
+        left = jnp.concatenate([jnp.full((h, 1), big, jnp.int32),
+                                lab[:, :-1]], 1)
+        right = jnp.concatenate([lab[:, 1:],
+                                 jnp.full((h, 1), big, jnp.int32)], 1)
+        return jnp.minimum(jnp.minimum(up, down), jnp.minimum(left, right))
+
+    def cond(state):
+        _lab, changed = state
+        return changed
+
+    def body(state):
+        lab, _ = state
+        # two sweeps per test amortizes the convergence reduction
+        new = jnp.where(mask, jnp.minimum(lab, neighbor_min(lab)), big)
+        new = jnp.where(mask, jnp.minimum(new, neighbor_min(new)), big)
+        return (new, jnp.any(new != lab))
+
+    lab, _ = jax.lax.while_loop(cond, body, (lab0, jnp.bool_(True)))
+    out_ref[:] = jnp.where(mask, lab, 0)
+
+
+def _pad_to_tile(x, tile=(8, 128)):
+    h, w = x.shape
+    ph = (-h) % tile[0]
+    pw = (-w) % tile[1]
+    if ph or pw:
+        x = jnp.pad(x, ((0, ph), (0, pw)))
+    return x, (h, w)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def connected_components_pallas(mask: jnp.ndarray,
+                                interpret: bool = False) -> jnp.ndarray:
+    """4-connected labeling, whole fixed-point loop in one pallas_call."""
+    mask_i = mask.astype(jnp.int32)
+    mask_p, (h, w) = _pad_to_tile(mask_i)
+    out = pl.pallas_call(
+        _cc_kernel,
+        out_shape=jax.ShapeDtypeStruct(mask_p.shape, jnp.int32),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY
+                               if interpret else pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY
+                               if interpret else pltpu.VMEM),
+        interpret=interpret,
+    )(mask_p)
+    out = out[:h, :w]
+    # remap padded-grid ids to the unpadded flattened-index id space used by
+    # the lax/scipy implementations (id = min index + 1 in the ORIGINAL grid)
+    wp = mask_p.shape[1]
+    nz = out > 0
+    r = (out - 1) // wp
+    c = (out - 1) % wp
+    return jnp.where(nz, r * w + c + 1, 0)
+
+
+def connected_components(mask, prefer_pallas: bool = None):
+    """Pallas kernel when enabled, lax fallback otherwise.
+
+    Defaults to the env switch ``CERBERUS_PALLAS=1``: the tunneled dev chip
+    in this environment intermittently wedges on fresh Mosaic compiles, so
+    the kernel is opt-in until exercised on directly-attached hardware
+    (interpreter-mode tests cover its semantics either way)."""
+    import os
+
+    if prefer_pallas is None:
+        prefer_pallas = os.environ.get("CERBERUS_PALLAS", "") not in ("", "0")
+    if prefer_pallas:
+        backend = jax.default_backend()
+        try:
+            return connected_components_pallas(mask,
+                                               interpret=backend == "cpu")
+        except Exception:
+            pass
+    return lax_postproc.connected_components(mask)

@@ -189,6 +189,35 @@ class VisualizeOutput(BaseCallbacks):
             state.tracked_step_output["image"]["output"] = viz_image
 
 
+class LoggingGradient(BaseCallbacks):
+    """Sampled gradient/parameter histograms -> tensorboard (reference
+    run_utils/callbacks/logging.py:16-75; 5% step sampling). Expects the
+    step_output to carry a 'grads' tree (enable with
+    make_train_step(..., return_grads=True))."""
+
+    def __init__(self, sample_rate: float = 0.05, seed: int = 0):
+        super().__init__()
+        self.sample_rate = sample_rate
+        self._rng = np.random.default_rng(seed)
+
+    def run(self, state, event):
+        if self._rng.random() > self.sample_rate:
+            return
+        tfwriter = (state.log_info or {}).get("tfwriter")
+        grads = (state.step_output or {}).get("grads")
+        if tfwriter is None or grads is None:
+            return
+        step = state.get_top_parent_state().curr_global_step
+        for name, leaf in grads.items():
+            for key, value in leaf.items():
+                tfwriter.add_histogram(f"grad/{name}.{key}",
+                                       np.asarray(value), step)
+        for name, leaf in state.run_info["net"].state.params.items():
+            for key, value in leaf.items():
+                tfwriter.add_histogram(f"param/{name}.{key}",
+                                       np.asarray(value), step)
+
+
 class LoggingOutput(BaseCallbacks):
     """Console + YAML stats file (+ tensorboard when a writer is supplied).
 

@@ -209,11 +209,15 @@ def _apply_bn_updates(params, bn_sink):
 
 
 def make_train_step(cfg: ModelConfig, loss_kwargs=None, optimizer_kwargs=None,
-                    compute_dtype=jnp.float32, donate: bool = True):
-    """Returns (train_step(state, batch, rng) -> (state, metrics), tx).
+                    compute_dtype=jnp.float32, donate: bool = True,
+                    return_grads: bool = False):
+    """Returns (train_step(state, batch, rng) -> (state, metrics[, grads]),
+    tx).
 
     The whole step — forward over all heads, masked multi-task loss,
     backward, Adam update, BN running-stat fold — is ONE jitted XLA program.
+    ``return_grads`` additionally returns the gradient tree (for the
+    LoggingGradient histogram callback).
     """
     loss_tables = _loss_table_static(loss_kwargs, cfg)
     tx, _ = make_optimizer(optimizer_kwargs)
@@ -235,6 +239,8 @@ def make_train_step(cfg: ModelConfig, loss_kwargs=None, optimizer_kwargs=None,
         new_params = _apply_bn_updates(new_params, bn_sink)
         new_state = TrainState(params=new_params, opt_state=new_opt_state,
                                step=state.step + 1)
+        if return_grads:
+            return new_state, metrics, grads
         return new_state, metrics
 
     jitted = jax.jit(step_fn, donate_argnums=(0,) if donate else ())
