@@ -85,12 +85,14 @@ def _info_to_wsi_format(inst_info_dict, offset_xy):
 
 def _process_tile_predictions(raw_path, canvas_shape, inst_slice, type_slice,
                               tile_bounds, tile_flag, tile_mode,
-                              ref_boxes, ref_uids, margin, postproc_code):
+                              ref_boxes, ref_uids, margin, postproc_code,
+                              backend: str = "cpu"):
     """Nuclei post-processing worker for one boundary-repair tile.
 
     Module-level and memmap-based so it pickles cleanly into a process pool
-    (same constraint as the reference, infer/wsi.py:78-80). Returns
-    (new_inst_dict, remove_uuid_list)."""
+    (same constraint as the reference, infer/wsi.py:78-80). With
+    ``backend='tpu'`` the watershed/CC kernels run on-chip (must be called
+    in-process). Returns (new_inst_dict, remove_uuid_list)."""
     raw = np.load(raw_path, mmap_mode="r")
     x0, y0, x1, y1 = [int(v) for v in tile_bounds]
     x1 = min(x1, raw.shape[1])
@@ -101,7 +103,12 @@ def _process_tile_predictions(raw_path, canvas_shape, inst_slice, type_slice,
          region[..., type_slice[0]:type_slice[1]]], axis=-1)
     idx_dict = {"Nuclei-INST": [0, 2], "Nuclei-TYPE": [2, 3]}
 
-    proc_cls = POSTPROC_FUNC_DICT[postproc_code]
+    if backend == "tpu":
+        from ..ops.tpu_postproc import TPU_POSTPROC_FUNC_DICT
+
+        proc_cls = TPU_POSTPROC_FUNC_DICT[postproc_code]
+    else:
+        proc_cls = POSTPROC_FUNC_DICT[postproc_code]
     inst_map, type_map = proc_cls.post_process(raw_map, idx_dict, "Nuclei")
     inst_dict = get_inst_info_dict(inst_map, type_map)
     if len(inst_dict) == 0:
@@ -268,6 +275,7 @@ class InferManager(BaseInferManager):
         if "Nuclei-INST" in idx_dict:
             pp_sets = self.get_tile_info(wsi_proc_shape_xy, ioconfig_pp)
             postproc_code = self.decoder_dict["Nuclei-INST"]
+            pp_backend = getattr(self, "postproc_backend", "cpu")
             for set_idx, (pp_bounds, pp_flags) in enumerate(pp_sets):
                 futures = []
                 for tile_idx, tile_bounds in enumerate(pp_bounds):
@@ -285,8 +293,9 @@ class InferManager(BaseInferManager):
                             idx_dict["Nuclei-TYPE"], tile_bounds,
                             pp_flags[tile_idx], set_idx,
                             ref_boxes, ref_uids if set_idx == 3 else [],
-                            ioconfig_pp.margin, postproc_code)
-                    if self._postproc_workers is not None:
+                            ioconfig_pp.margin, postproc_code, pp_backend)
+                    if self._postproc_workers is not None \
+                            and pp_backend != "tpu":
                         futures.append(
                             self._postproc_workers.submit(
                                 _process_tile_predictions, *args))
