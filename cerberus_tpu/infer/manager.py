@@ -22,6 +22,24 @@ from ..models.net_desc import init_net_params
 from .steps import make_infer_step
 
 
+def _enable_compilation_cache() -> None:
+    """Persist XLA executables across CLI invocations (first 448^2 compile
+    is ~20-40 s; cached reloads are sub-second). Opt-out via
+    CERBERUS_NO_COMPILE_CACHE=1."""
+    import os
+
+    if os.environ.get("CERBERUS_NO_COMPILE_CACHE"):
+        return
+    cache_dir = os.environ.get("CERBERUS_COMPILE_CACHE",
+                               os.path.expanduser("~/.cache/cerberus_tpu/xla"))
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 class InferManager:
     def __init__(self, checkpoint_path: Optional[str] = None,
                  decoder_dict: Optional[dict] = None,
@@ -36,6 +54,7 @@ class InferManager:
         for variable, value in kwargs.items():
             setattr(self, variable, value)
         self.cfg = ModelConfig.from_kwargs(self.model_args)
+        _enable_compilation_cache()
         self._load_model(params)
 
     def _load_model(self, params: Optional[Dict]) -> None:
