@@ -125,13 +125,21 @@ class ConditionalSaver(BaseCallbacks):
         op_func = ops[self.comparator]
         best = -float("inf") if self.comparator in (">", ">=") else float("inf")
 
-        with open(state.log_info["json_file"]) as handle:
-            stats = json.load(handle)
+        log_info = state.log_info or {}
+        stat_file = log_info.get("json_file") or log_info.get("yaml_file")
+        if not stat_file or not os.path.exists(stat_file):
+            return
+        with open(stat_file) as handle:
+            stats = (json.load(handle) if stat_file.endswith(".json")
+                     else yaml.safe_load(handle)) or {}
+        epoch_key = str(state.get_top_parent_state().curr_epoch)
+        if epoch_key not in stats or self.metric_name not in stats[epoch_key]:
+            return
         for _epoch, epoch_stat in stats.items():
             if self.metric_name in epoch_stat and \
                     op_func(epoch_stat[self.metric_name], best):
                 best = epoch_stat[self.metric_name]
-        current = stats[str(state.curr_epoch)][self.metric_name]
+        current = stats[epoch_key][self.metric_name]
         if not op_func(current, best):
             return
         for net_name, net in state.run_info.items():

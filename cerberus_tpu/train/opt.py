@@ -66,7 +66,7 @@ def get_config(model_kwargs: Dict, loss_kwargs: Dict,
 
 def build_trainer(config: Dict, train_loaders: Dict, valid_loaders: Dict,
                   log_dir: Optional[str] = None, seed: int = 0,
-                  pretrained_params=None):
+                  pretrained_params=None, best_metric: Optional[str] = None):
     """Build chained train/infer engines for phase 0; returns (train_engine,
     infer_engine, net_holder)."""
     phase = config["phase_list"][0]
@@ -156,6 +156,13 @@ def build_trainer(config: Dict, train_loaders: Dict, valid_loaders: Dict,
     trigger.triggered_engine = infer_engine
     train_engine.add_event_handler(Events.STEP_COMPLETED, trigger)
     train_engine.add_event_handler(Events.STEP_COMPLETED, ScheduleLr())
+    if best_metric is not None and log_dir is not None:
+        from .callbacks import ConditionalSaver
+
+        # fires after the epoch's LoggingOutput has flushed stats.yml;
+        # metric names are the flushed keys, e.g. "valid-Gland-INST-dice-1"
+        infer_engine.add_event_handler(Events.EPOCH_COMPLETED,
+                                       ConditionalSaver(best_metric))
 
     return train_engine, infer_engine, net
 

@@ -70,7 +70,7 @@ def test_trainer_micro_run(tmp_path):
                         per_n_steps=2)
     train_engine, infer_engine, net = build_trainer(
         config, {"train": FakeLoader(2)}, {"valid": FakeLoader(1, seed=9)},
-        log_dir=log_dir)
+        log_dir=log_dir, best_metric="valid-Patch-Class-acc")
     train_engine.run(nr_epoch=2)
 
     # steps advanced
@@ -80,9 +80,11 @@ def test_trainer_micro_run(tmp_path):
     assert "lr-net" in train_engine.state.tracked_step_output["scalar"]
     # periodic checkpoint: the counter increments after STEP_COMPLETED (the
     # reference's cadence, run_utils/engine.py:194-196), so with 4 batches
-    # and per_n_step=2 exactly one save fires (at global step 2)
-    ckpts = [f for f in os.listdir(log_dir) if f.endswith(".tar")]
-    assert ckpts == ["net_step-000002.tar"]
+    # and per_n_step=2 exactly one periodic save fires (at global step 2);
+    # the best-metric ConditionalSaver also saves at least once
+    ckpts = sorted(f for f in os.listdir(log_dir) if f.endswith(".tar"))
+    assert "net_step-000002.tar" in ckpts
+    assert "net_best=[valid-Patch-Class-acc].tar" in ckpts
     params = load_checkpoint(os.path.join(log_dir, sorted(ckpts)[0]))
     assert "backbone.conv1" in params
     # validation ran (chained engine) and produced metrics into stats file
