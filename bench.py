@@ -29,7 +29,29 @@ ITERS = 10
 EST_REFERENCE_TILES_PER_SEC = 25.0
 
 
+def _watchdog(seconds: int = 480) -> None:
+    """The tunneled dev chip intermittently wedges (ops hang indefinitely);
+    emit a diagnostic JSON line instead of hanging the harness."""
+    import signal
+
+    def on_alarm(_sig, _frame):
+        print(json.dumps({
+            "metric": "448^2 tiles/sec/chip (6-head fused forward+activations, bf16, batch 32)",
+            "value": 0.0,
+            "unit": "tiles/s",
+            "vs_baseline": 0.0,
+            "note": f"device unresponsive for {seconds}s (tunnel wedged)",
+        }), flush=True)
+        import os
+
+        os._exit(2)
+
+    signal.signal(signal.SIGALRM, on_alarm)
+    signal.alarm(seconds)
+
+
 def main() -> None:
+    _watchdog()
     cfg = ModelConfig.from_kwargs({
         "encoder_backbone_name": "resnet34",
         "decoder_kwargs": DEFAULT_DECODER_KWARGS,
