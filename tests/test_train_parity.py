@@ -1,0 +1,172 @@
+"""Training-loss golden parity: reference torch ``train_step`` vs our masked
+multi-task loss on identical weights and batch.
+
+With every sample carrying every GT (no dummies), the reference's
+Patch-Class broadcasting quirk reduces to a plain mean, so all per-head loss
+scalars must agree to fp tolerance. The reference import chain needs skimage
+(absent here) and hardcodes cuda moves — both stubbed/patched below.
+"""
+import sys
+import types
+
+import numpy as np
+import pytest
+
+import conftest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from cerberus_tpu.config import DEFAULT_DECODER_KWARGS, ModelConfig  # noqa: E402
+from cerberus_tpu.models.convert import convert_torch_state_dict  # noqa: E402
+from cerberus_tpu.train.steps import (  # noqa: E402
+    _loss_table_static,
+    head_order,
+    multitask_loss,
+)
+
+LOSS_KWARGS = {
+    "loss_info": {
+        "Lumen-INST": {"weight": 1.5, "loss": {"ce": 1}},
+        "Gland-INST": {"weight": 1.4, "loss": {"ce": 1}},
+        "Nuclei-INST": {"weight": 1, "loss": {"ce": 1}},
+        "Nuclei-TYPE": {"weight": 0, "loss": {"ce": 1, "dice": 1}},
+        "Gland-TYPE": {"weight": 1, "loss": {"ce": 1, "dice": 1}},
+        "Patch-Class": {"weight": 0.4, "loss": {"ce": 1}},
+    },
+    "class_weight": {
+        "Gland-TYPE": {1: 1, 2: 1},
+        "Nuclei-TYPE": {1: 12, 2: 1, 3: 2, 4: 6, 5: 12, 6: 2},
+    },
+}
+MODEL_KWARGS = {
+    "encoder_backbone_name": "resnet34",
+    "decoder_kwargs": DEFAULT_DECODER_KWARGS,
+    "considered_tasks": list(DEFAULT_DECODER_KWARGS.keys()),
+}
+
+
+def _stub_skimage(monkeypatch):
+    """Inject a minimal fake skimage so the reference's misc.utils imports."""
+    sk = types.ModuleType("skimage")
+    sk_filters = types.ModuleType("skimage.filters")
+    sk_morph = types.ModuleType("skimage.morphology")
+    sk_color = types.ModuleType("skimage.color")
+    sk_filters.rank = types.SimpleNamespace(entropy=None)
+    sk_filters.threshold_otsu = None
+    sk_morph.disk = lambda r: None
+    sk_morph.remove_small_holes = None
+    sk_morph.remove_small_objects = None
+    sk.color = sk_color
+    sk.filters = sk_filters
+    sk.morphology = sk_morph
+    for name, mod in [("skimage", sk), ("skimage.filters", sk_filters),
+                      ("skimage.morphology", sk_morph),
+                      ("skimage.color", sk_color)]:
+        monkeypatch.setitem(sys.modules, name, mod)
+
+
+@pytest.fixture()
+def reference_train_step(monkeypatch):
+    if not conftest.reference_available():
+        pytest.skip("reference repo not mounted")
+    conftest.add_reference_to_path()
+    _stub_skimage(monkeypatch)
+    # neutralize cuda moves
+    orig_to = torch.Tensor.to
+
+    def cpu_to(self, *args, **kwargs):
+        args = tuple("cpu" if a == "cuda" else a for a in args)
+        if kwargs.get("device") == "cuda":
+            kwargs["device"] = "cpu"
+        return orig_to(self, *args, **kwargs)
+
+    monkeypatch.setattr(torch.Tensor, "to", cpu_to)
+    monkeypatch.setattr(
+        torch.nn.Module, "to",
+        lambda self, *a, **k: self, raising=False)
+
+    from models.run_desc import train_step
+
+    return train_step
+
+
+def _build_batch(rng, n=2, hw=64):
+    heads = {"Lumen-INST": 3, "Gland-INST": 3, "Nuclei-INST": 3,
+             "Nuclei-TYPE": 7, "Gland-TYPE": 3}
+    img = rng.integers(0, 255, (n, hw, hw, 3)).astype(np.uint8)
+    batch = {"img": img}
+    for head, n_cls in heads.items():
+        batch[head] = rng.integers(0, n_cls, (n, hw, hw, 1)).astype(np.float32)
+        if head.endswith("-INST"):
+            batch[head + "#WEIGHT-MAP"] = (
+                1.0 + rng.random((n, hw, hw, 1)).astype(np.float32))
+    batch["Patch-Class"] = rng.integers(0, 9, (n, 1, 1, 1)).astype(np.float32)
+    return batch
+
+
+def test_train_loss_scalars_match_reference(reference_train_step):
+    from models.net_desc import create_model
+
+    torch.manual_seed(0)
+    net = create_model(**MODEL_KWARGS)
+    net.train()
+
+    rng = np.random.default_rng(11)
+    batch = _build_batch(rng)
+    n = batch["img"].shape[0]
+
+    # --- reference side
+    column_names = []
+    for head in ["Lumen-INST", "Gland-INST", "Nuclei-INST", "Nuclei-TYPE",
+                 "Gland-TYPE", "Patch-Class"]:
+        column_names.append(head)
+    dummy_target = np.tile(np.array(column_names, dtype=object), (n, 1))
+
+    torch_batch = {"img": torch.from_numpy(batch["img"].copy()),
+                   "dummy_target": dummy_target}
+    for key, value in batch.items():
+        if key == "img":
+            continue
+        torch_batch[key] = torch.from_numpy(value.copy())
+
+    wrapped = torch.nn.DataParallel(net)
+    optimizer = torch.optim.Adam(net.parameters(), lr=0.0)
+    run_info = ({"net": {"desc": wrapped, "optimizer": optimizer,
+                         "extra_info": {"loss": LOSS_KWARGS}}}, {})
+    ref_out = reference_train_step(dict(torch_batch), run_info)
+    ref_ema = ref_out["EMA"]
+
+    # --- our side (same converted weights, batch stats, dropout off)
+    params = {k: {kk: jnp.asarray(vv) for kk, vv in v.items()}
+              for k, v in convert_torch_state_dict(net.state_dict()).items()}
+    cfg = ModelConfig.from_kwargs(MODEL_KWARGS)
+    jax_batch = {
+        "img": jnp.asarray(batch["img"]),
+        "has_target": jnp.ones((n, len(head_order(cfg))), jnp.float32),
+        "Patch-Class": jnp.asarray(batch["Patch-Class"].astype(np.int32)),
+    }
+    for key, value in batch.items():
+        if key in ("img", "Patch-Class"):
+            continue
+        jax_batch[key] = jnp.asarray(
+            value.astype(np.int32) if not key.endswith("WEIGHT-MAP")
+            else value)
+
+    tables = _loss_table_static(LOSS_KWARGS, cfg)
+    with jax.default_matmul_precision("highest"):
+        bn_sink = {}
+        total, metrics = multitask_loss(params, jax_batch, cfg, tables,
+                                        bn_sink, None, jnp.float32)
+
+    # NB: reference runs dropout in the Patch-Class head during training; our
+    # dropout_rng=None disables it — so compare Patch-Class more loosely and
+    # everything else tightly.
+    for head in ["Lumen-INST", "Gland-INST", "Nuclei-INST", "Gland-TYPE",
+                 "Nuclei-TYPE"]:
+        ref_v = float(ref_ema[f"{head}_loss"])
+        got_v = float(metrics[f"{head}_loss"])
+        assert abs(ref_v - got_v) / max(abs(ref_v), 1e-3) < 5e-3, (
+            head, ref_v, got_v)
