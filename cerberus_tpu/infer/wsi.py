@@ -188,6 +188,16 @@ class InferManager(BaseInferManager):
             wsi_mask = cv2.imread(mask_path)
             wsi_mask = cv2.cvtColor(wsi_mask, cv2.COLOR_BGR2GRAY)
             wsi_mask[wsi_mask > 0] = 1
+        elif getattr(self, "auto_mask", False):
+            # stain-entropy Otsu masking on a low-res thumbnail
+            # (ops/tissue_mask.py; the reference ships get_tissue_mask but
+            # never wires it into the WSI CLI — misc/utils.py:238-244)
+            from ..ops.tissue_mask import get_tissue_mask
+
+            thumb_mpp = max(8.0 * reader.info.mpp,
+                            float(resolution["resolution"]) * 8)
+            thumb = reader.slide_thumbnail(resolution=thumb_mpp, units="mpp")
+            wsi_mask = get_tissue_mask(thumb).astype(np.uint8)
         else:
             wsi_mask = np.ones(tuple(wsi_proc_shape), dtype=np.uint8)
         mask_downsample_ratio = wsi_mask.shape[0] / wsi_proc_shape[0]

@@ -5,7 +5,7 @@ Usage:
             [--nr_post_proc_workers=<n>] [--batch_size=<n>] [--tile_shape=<n>] [--chunk_shape=<n>] \
             [--ambiguous_size=<int>] [--wsi_proc_mag=<n>] [--wsi_file_ext=<str>] [--cache_path=<path>] \
             [--logging_dir=<path>] [--input_dir=<path>] [--msk_dir=<path>] [--output_dir=<path>] [--patch_input_shape=<n>] \
-            [--patch_output_shape=<n>] [--wsi_bulk_idx=<n>] [--wsi_proc_step=<n>] [--save_thumb] [--save_mask]
+            [--patch_output_shape=<n>] [--wsi_bulk_idx=<n>] [--wsi_proc_step=<n>] [--save_thumb] [--save_mask] [--auto_mask]
   run_infer_wsi.py (-h | --help)
   run_infer_wsi.py --version
 
@@ -33,6 +33,7 @@ Options:
   --wsi_proc_step=<n>         Increments for batch WSI processing. [default: 10]
   --save_thumb                Whether to save the slide thumbnail
   --save_mask                 Whether to save the slide mask
+  --auto_mask                 Generate tissue masks automatically (stain-entropy Otsu) for slides without one
 
 Flag surface is bit-for-bit the reference CLI (run_infer_wsi.py:1-37),
 including the bulk-sharding contract: slides [(bulk_idx-1)*step, bulk_idx*step)
@@ -113,6 +114,7 @@ if __name__ == "__main__":
         "cache_path": cache_path,
         "logging_dir": logging_dir,
         "wsi_proc_mag": float(args["--wsi_proc_mag"]),
+        "auto_mask": bool(args["--auto_mask"]),
     }
 
     from cerberus_tpu.infer.wsi import InferManager
