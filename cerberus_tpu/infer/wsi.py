@@ -98,10 +98,14 @@ def _process_tile_predictions(raw_path, canvas_shape, inst_slice, type_slice,
     x1 = min(x1, raw.shape[1])
     y1 = min(y1, raw.shape[0])
     region = np.asarray(raw[y0:y1, x0:x1], dtype=np.float32)
-    raw_map = np.concatenate(
-        [region[..., inst_slice[0]:inst_slice[1]],
-         region[..., type_slice[0]:type_slice[1]]], axis=-1)
-    idx_dict = {"Nuclei-INST": [0, 2], "Nuclei-TYPE": [2, 3]}
+    n_inst = inst_slice[1] - inst_slice[0]
+    parts = [region[..., inst_slice[0]:inst_slice[1]]]
+    idx_dict = {"Nuclei-INST": [0, n_inst]}
+    if type_slice is not None:
+        parts.append(region[..., type_slice[0]:type_slice[1]])
+        idx_dict["Nuclei-TYPE"] = [n_inst, n_inst + type_slice[1]
+                                   - type_slice[0]]
+    raw_map = np.concatenate(parts, axis=-1)
 
     if backend == "tpu":
         from ..ops.tpu_postproc import TPU_POSTPROC_FUNC_DICT
@@ -300,7 +304,7 @@ class InferManager(BaseInferManager):
                                  if (set_idx == 3 and ref_uids) else
                                  np.zeros((0, 4)))
                     args = (canvas.raw_path, canvas.shape, idx_dict["Nuclei-INST"],
-                            idx_dict["Nuclei-TYPE"], tile_bounds,
+                            idx_dict.get("Nuclei-TYPE"), tile_bounds,
                             pp_flags[tile_idx], set_idx,
                             ref_boxes, ref_uids if set_idx == 3 else [],
                             ioconfig_pp.margin, postproc_code, pp_backend)
