@@ -29,9 +29,14 @@ class CerberusPredictor:
     def __init__(self, checkpoint_path: Optional[str], model_args: dict,
                  decoder_dict: dict, batch_size: int = 8,
                  patch_input_shape: int = 448, patch_output_shape: int = 144,
-                 postproc_backend: str = "cpu", params=None):
-        self._manager = InferManager(checkpoint_path=checkpoint_path,
-                                     model_args=model_args, params=params)
+                 postproc_backend: str = "cpu", params=None,
+                 compute_dtype=None):
+        import jax.numpy as jnp
+
+        self._manager = InferManager(
+            checkpoint_path=checkpoint_path, model_args=model_args,
+            params=params,
+            compute_dtype=compute_dtype or jnp.bfloat16)
         self.decoder_dict = decoder_dict
         self.batch_size = int(batch_size)
         self.patch_input_shape = int(patch_input_shape)
