@@ -83,15 +83,24 @@ def connected_components(mask: jnp.ndarray, max_iters: int = 0) -> jnp.ndarray:
     """4-connected labeling. Returns int32 labels where each component's id
     is (min flattened index in component) + 1; background is 0.
 
-    Fixed-point min-propagation; worst case O(geodesic diameter) sweeps, with
-    an 8-neighborhood-free formulation that XLA fuses into one cheap VPU
-    kernel per sweep.
+    Each sweep combines 4-neighbor min-propagation with pointer jumping
+    (labels are pixel indices, so ``lab <- lab[lab]`` contracts label chains
+    like union-find path compression): convergence in O(log diameter) sweeps
+    instead of O(diameter) — this is what keeps snake-shaped instances on
+    4096^2 WSI postproc tiles cheap.
     """
     h, w = mask.shape
     mask = mask.astype(bool)
     big = jnp.int32(h * w + 2)
     idx = (jnp.arange(h * w, dtype=jnp.int32).reshape(h, w) + 1)
     lab = jnp.where(mask, idx, big)
+
+    def jump(lab):
+        """lab[p] <- lab at the pixel lab points to (background -> self)."""
+        flat = jnp.where(mask, lab, idx).reshape(-1)
+        target = jnp.clip(flat - 1, 0, h * w - 1)
+        jumped = flat[target].reshape(h, w)
+        return jnp.where(mask, jnp.minimum(lab, jumped), big)
 
     def cond(state):
         lab, changed, it = state
@@ -101,6 +110,7 @@ def connected_components(mask: jnp.ndarray, max_iters: int = 0) -> jnp.ndarray:
         lab, _, it = state
         new = jnp.minimum(lab, _neighbor_min(lab, big))
         new = jnp.where(mask, new, big)
+        new = jump(jump(new))
         return new, jnp.any(new != lab), it + 1
 
     lab, _, _ = jax.lax.while_loop(cond, body, (lab, jnp.bool_(True),

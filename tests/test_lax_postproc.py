@@ -129,3 +129,26 @@ def test_tpu_nuclei_family_close_to_cpu_oracle():
     # ...and per-pixel agreement up to the documented 1-px boundary band
     disagree = ((np.asarray(cpu_inst) > 0) != (np.asarray(tpu_inst) > 0)).mean()
     assert disagree < 0.01
+
+
+def test_connected_components_spiral_long_geodesic():
+    # a spiral has geodesic diameter ~O(H*W/2); pointer jumping must still
+    # label it as ONE component quickly
+    hw = 65
+    mask = np.zeros((hw, hw), bool)
+    top, bottom, left, right = 0, hw - 1, 0, hw - 1
+    while top <= bottom and left <= right:
+        mask[top, left:right + 1] = True
+        mask[top:bottom + 1, right] = True
+        mask[bottom, left:right + 1] = True
+        # leave a gap so rings connect into one spiral arm
+        mask[top + 1:bottom + 1, left] = True
+        if top + 2 <= bottom:
+            mask[top + 2, left:right - 1] = False
+        top += 2
+        bottom -= 2
+        left += 2
+        right -= 2
+    ref, n_ref = cc_cpu.label(mask)
+    got = np.asarray(L.connected_components(jnp.asarray(mask)))
+    assert _label_isomorphic(ref, got)
