@@ -228,6 +228,7 @@ def net_forward(
     bn_sink: Optional[dict] = None,
     dropout_rng=None,
     compute_dtype=jnp.float32,
+    remat: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Run all considered heads. ``imgs``: NHWC, any numeric dtype, 0-255.
 
@@ -239,8 +240,27 @@ def net_forward(
     _init_fn, backbone_fwd, _filters = get_backbone(cfg.encoder_backbone_name)
     dsf = _is_dsf(cfg)
 
+    def _maybe_remat(fn):
+        """Per-stage rematerialization: BN batch stats are produced inside
+        the checkpointed region and RETURNED (a local sink becomes an output
+        pytree), so remat never leaks tracers through a side channel. Peak
+        training memory drops from the sum of stage activations to roughly
+        the largest single stage."""
+        if not remat:
+            return fn
+        return jax.checkpoint(fn)
+
     x = imgs.astype(compute_dtype) / jnp.asarray(255.0, compute_dtype)
-    feat_list = backbone_fwd(params, x, "backbone", bn_sink)
+
+    def run_backbone(p, x):
+        sink: Dict = {}
+        feats = backbone_fwd(p, x, "backbone",
+                             sink if training else None)
+        return feats, sink
+
+    feat_list, stage_stats = _maybe_remat(run_backbone)(params, x)
+    if training:
+        bn_sink.update(stage_stats)
     bottom_feats = feat_list[-1]
     if not dsf:
         feat_list = feat_list[:-1] + [conv2d(params["conv_map"], bottom_feats,
@@ -276,11 +296,27 @@ def net_forward(
             from .gconv import group_pool
 
             nr = _nr_orients(cfg)
-            prev = _gconv_decoder_tower(params, decoder_name, feat_list, nr,
-                                        bn_sink)
+
+            def run_gtower(p, feats, _name=decoder_name):
+                sink: Dict = {}
+                out = _gconv_decoder_tower(p, _name, feats, nr,
+                                           sink if training else None)
+                return out, sink
+
+            prev, tower_stats = _maybe_remat(run_gtower)(params, feat_list)
+            if training:
+                bn_sink.update(tower_stats)
             prev = group_pool(prev, nr, "max")
         else:
-            prev = _decoder_tower(params, decoder_name, feat_list, bn_sink)
+            def run_tower(p, feats, _name=decoder_name):
+                sink: Dict = {}
+                out = _decoder_tower(p, _name, feats,
+                                     sink if training else None)
+                return out, sink
+
+            prev, tower_stats = _maybe_remat(run_tower)(params, feat_list)
+            if training:
+                bn_sink.update(tower_stats)
         for head_name, _out_ch in heads:
             if dsf:
                 base = f"output_head.{decoder_name}.{head_name}"

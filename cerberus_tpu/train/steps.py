@@ -128,7 +128,7 @@ def _loss_weight_tables(loss_kwargs: Mapping, cfg: ModelConfig):
 
 def multitask_loss(params, batch, cfg: ModelConfig, loss_tables,
                    bn_sink: Optional[dict], dropout_rng,
-                   compute_dtype=jnp.float32):
+                   compute_dtype=jnp.float32, remat: bool = False):
     """Returns (total_loss, per-head scalar dict)."""
     heads = head_order(cfg)
     n_ch = head_output_channels(cfg)
@@ -144,7 +144,8 @@ def multitask_loss(params, batch, cfg: ModelConfig, loss_tables,
                             train_decoder_list=tuple(cfg.active_decoders()),
                             bn_sink=bn_sink,
                             dropout_rng=dropout_rng,
-                            compute_dtype=compute_dtype)
+                            compute_dtype=compute_dtype,
+                            remat=remat)
 
     total = jnp.zeros((), jnp.float32)
     metrics = {}
@@ -210,7 +211,7 @@ def _apply_bn_updates(params, bn_sink):
 
 def make_train_step(cfg: ModelConfig, loss_kwargs=None, optimizer_kwargs=None,
                     compute_dtype=jnp.float32, donate: bool = True,
-                    return_grads: bool = False):
+                    return_grads: bool = False, remat: bool = False):
     """Returns (train_step(state, batch, rng) -> (state, metrics[, grads]),
     tx).
 
@@ -228,7 +229,8 @@ def make_train_step(cfg: ModelConfig, loss_kwargs=None, optimizer_kwargs=None,
             # grad trace through the aux output, never by closure capture
             bn_sink: dict = {}
             total, metrics = multitask_loss(
-                params, batch, cfg, loss_tables, bn_sink, rng, compute_dtype)
+                params, batch, cfg, loss_tables, bn_sink, rng, compute_dtype,
+                remat)
             return total, (metrics, bn_sink)
 
         (_, (metrics, bn_sink)), grads = jax.value_and_grad(

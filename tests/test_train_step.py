@@ -136,3 +136,36 @@ def test_data_parallel_mesh_train_step():
     new_state, metrics = run(state, batch, jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics["overall_loss"]))
     assert int(new_state.step) == 1
+
+
+def test_remat_train_step_matches_plain():
+    """Per-stage jax.checkpoint must not change the math — identical
+    metrics and updated params vs the non-remat step."""
+    params = init_net_params(jax.random.PRNGKey(3), CFG)
+    rng_np = np.random.default_rng(5)
+    batch = _make_batch(rng_np)
+    key = jax.random.PRNGKey(2)
+
+    outs = {}
+    for remat in (False, True):
+        step_fn, tx = make_train_step(CFG, LOSS_KWARGS, {"lr": 1e-3},
+                                      donate=False, remat=remat)
+        state = TrainState(params=params, opt_state=tx.init(params),
+                           step=jnp.zeros((), jnp.int32))
+        new_state, metrics = step_fn(state, batch, key)
+        outs[remat] = (new_state, metrics)
+
+    m0, m1 = outs[False][1], outs[True][1]
+    for k in m0:
+        np.testing.assert_allclose(np.asarray(m0[k]), np.asarray(m1[k]),
+                                   rtol=1e-5, err_msg=k)
+    # recompute reassociates float ops; near-zero grads can flip Adam's
+    # +-lr normalized update, so allow a 2*lr band on a tiny fraction
+    p0 = np.asarray(outs[False][0].params["backbone.conv1"]["kernel"])
+    p1 = np.asarray(outs[True][0].params["backbone.conv1"]["kernel"])
+    np.testing.assert_allclose(p0, p1, atol=2.5e-3)
+    assert (np.abs(p0 - p1) > 1e-6).mean() < 0.005
+    # BN stats updated identically through the remat boundary
+    s0 = outs[False][0].params["backbone.bn1"]["mean"]
+    s1 = outs[True][0].params["backbone.bn1"]["mean"]
+    np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), atol=1e-6)
