@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import os
 import pathlib
+import multiprocessing
 from concurrent.futures import ProcessPoolExecutor, as_completed
 
 import cv2
@@ -147,7 +148,9 @@ class InferManager(BaseInferManager):
         backend = getattr(self, "postproc_backend", "cpu")
         proc_pool = None
         if getattr(self, "nr_post_proc_workers", 0) > 0 and backend != "tpu":
-            proc_pool = ProcessPoolExecutor(self.nr_post_proc_workers)
+            proc_pool = ProcessPoolExecutor(
+                self.nr_post_proc_workers,
+                mp_context=multiprocessing.get_context("spawn"))
 
         while len(file_path_list) > 0:
             cache_images, cache_infos = [], []

@@ -38,6 +38,7 @@ import os
 import pathlib
 import time
 import uuid
+import multiprocessing
 from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 from datetime import datetime
 
@@ -464,8 +465,10 @@ class InferManager(BaseInferManager):
             margin=int(getattr(self, "ambiguous_size", 64)))
 
         nr_pp = int(getattr(self, "nr_post_proc_workers", 0) or 0)
-        self._postproc_workers = (ProcessPoolExecutor(nr_pp)
-                                  if nr_pp > 0 else None)
+        self._postproc_workers = (
+            ProcessPoolExecutor(
+                nr_pp, mp_context=multiprocessing.get_context("spawn"))
+            if nr_pp > 0 else None)
 
         for wsi_path, mask_path in zip(self.input_list, self.mask_list):
             wsi_basename = pathlib.Path(wsi_path).stem
