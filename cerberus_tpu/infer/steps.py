@@ -99,13 +99,19 @@ def fused_infer_outputs(params, imgs, cfg: ModelConfig, output_shape: int,
 
 
 def make_infer_step(params, cfg: ModelConfig, output_shape: int = 144,
-                    compute_dtype=jnp.bfloat16, fuse_decoders: bool = True,
+                    compute_dtype=jnp.bfloat16, fuse_decoders: bool = False,
                     out_dtype=jnp.float16):
     """Build the jitted step: uint8 NHWC batch -> (N, out, out, C) float32.
 
     One compiled program per batch shape; callers pad the final partial batch
-    to a fixed size (shape discipline: SURVEY.md §7 hard-part 5). With
-    ``fuse_decoders`` the five towers run as one grouped-conv bank.
+    to a fixed size (shape discipline: SURVEY.md §7 hard-part 5).
+
+    ``fuse_decoders`` runs the five towers as one grouped-conv bank — OFF by
+    default: measured on v5e it buys only ~5% step time while XLA pads the
+    5x64-channel grouped activations 2x, materializing a (N, 448, 448, 5, 64)
+    bf16 temp (15.3 GB at batch 64 -> OOM; ~8 GB extra peak at batch 32).
+    The sequential towers let XLA free each tower's activations before the
+    next, peaking at ~1/5 the memory for the same math.
     """
     fused = head_specs = None
     if fuse_decoders:
