@@ -100,6 +100,98 @@ def _sharded_cc_kernel(mask):
     return jnp.where(mask, lab, 0)
 
 
+def _propagate_sharded(lab, allowed, big, d, n_dev):
+    """Min-label propagation through ``allowed`` pixels to a GLOBAL fixed
+    point: local sweeps + ppermute halo rows until psum says done."""
+    fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    bwd = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+
+    def local_sweeps(lab):
+        def cond(state):
+            lab, changed = state
+            return changed
+
+        def body(state):
+            lab, _ = state
+            # watershed rule: only UNLABELED allowed pixels adopt the min
+            # labeled neighbor; labeled pixels are never overwritten
+            cand = L._neighbor_min(lab, big)
+            new = jnp.where(allowed & (lab == big), cand, lab)
+            return new, jnp.any(new != lab)
+
+        lab, _ = jax.lax.while_loop(cond, body,
+                                    (lab, jnp.any(allowed) | True))
+        return lab
+
+    def outer_cond(state):
+        lab, changed = state
+        return changed
+
+    def outer_body(state):
+        lab, _ = state
+        lab = local_sweeps(lab)
+        above = jax.lax.ppermute(lab[-1], AXIS, [(i, (i + 1) % n_dev)
+                                                 for i in range(n_dev)])
+        below = jax.lax.ppermute(lab[0], AXIS, [(i, (i - 1) % n_dev)
+                                                for i in range(n_dev)])
+        above = jnp.where(d == 0, big, above)
+        below = jnp.where(d == n_dev - 1, big, below)
+        top = jnp.where(allowed[0] & (lab[0] == big),
+                        jnp.minimum(lab[0], above), lab[0])
+        bot = jnp.where(allowed[-1] & (lab[-1] == big),
+                        jnp.minimum(lab[-1], below), lab[-1])
+        new = lab.at[0].set(top).at[-1].set(bot)
+        changed = jax.lax.psum(jnp.any(new != lab).astype(jnp.int32),
+                               AXIS) > 0
+        return new, changed
+
+    lab, _ = jax.lax.while_loop(outer_cond, outer_body,
+                                (lab, jnp.bool_(True)))
+    return lab
+
+
+def _sharded_watershed_kernel(image, markers, mask, n_levels):
+    d = jax.lax.axis_index(AXIS)
+    n_dev = jax.lax.axis_size(AXIS)
+    big = jnp.int32(0x7FFFFFF0)
+    mask = mask.astype(bool)
+    lab = jnp.where(mask & (markers > 0), markers.astype(jnp.int32), big)
+
+    img = jnp.where(mask, image, jnp.inf)
+    lo = jax.lax.pmin(jnp.min(jnp.where(mask, image, jnp.inf)), AXIS)
+    hi = jax.lax.pmax(jnp.max(jnp.where(mask, image, -jnp.inf)), AXIS)
+    span = jnp.maximum(hi - lo, 1e-6)
+    level_of = jnp.clip(((img - lo) / span * (n_levels - 1)).astype(jnp.int32),
+                        0, n_levels - 1)
+
+    def level_body(level, lab):
+        allowed = mask & (level_of <= level)
+        return _propagate_sharded(lab, allowed, big, d, n_dev)
+
+    lab = jax.lax.fori_loop(0, n_levels, level_body, lab)
+    return jnp.where(mask & (lab != big), lab, 0)
+
+
+def watershed_sharded(image: np.ndarray, markers: np.ndarray,
+                      mask: np.ndarray, mesh: Mesh,
+                      n_levels: int = 64) -> np.ndarray:
+    """Marker watershed on a row-sharded canvas: level-ordered flooding with
+    halo-row exchange per propagation round. Matches ops/lax_postproc.
+    watershed semantics (same level bucketing) across any mesh size."""
+    n_dev = mesh.devices.size
+    h, w = image.shape
+    assert h % n_dev == 0, f"H={h} must divide by mesh size {n_dev}"
+    sharding = NamedSharding(mesh, P(AXIS, None))
+    fn = jax.jit(
+        jax.shard_map(partial(_sharded_watershed_kernel, n_levels=n_levels),
+                      mesh=mesh, in_specs=P(AXIS, None),
+                      out_specs=P(AXIS, None)))
+    args = [jax.device_put(np.asarray(a), sharding)
+            for a in (image.astype(np.float32), markers.astype(np.int32),
+                      np.asarray(mask, bool))]
+    return np.asarray(fn(*args))
+
+
 def connected_components_sharded(mask: np.ndarray, mesh: Mesh) -> np.ndarray:
     """4-connected labeling of a row-sharded canvas over ``mesh`` (1-D).
 
