@@ -25,40 +25,70 @@ import numpy as np
 from . import lax_postproc as L
 
 
-@partial(jax.jit, static_argnames=("thresh", "min_size", "ksize"))
+def _cc(fg, impl: str):
+    """Static dispatch: 'lax' while_loop CC, 'pallas' VMEM-resident kernel
+    (4.1x faster on v5e at 448^2), 'pallas_interp' for CPU testing."""
+    if impl == "pallas":
+        from .pallas_cc import cc_pallas
+
+        return cc_pallas(fg)
+    if impl == "pallas_interp":
+        from .pallas_cc import cc_pallas
+
+        return cc_pallas(fg, interpret=True)
+    return L.connected_components(fg)
+
+
+def _cc_impl() -> str:
+    import os
+
+    env = os.environ.get("CERBERUS_PALLAS", "")
+    if env == "0":
+        return "lax"
+    # decide by where computation actually runs: a pinned jax_default_device
+    # (tests pin CPU while an accelerator plugin stays the default backend)
+    # takes precedence over the backend
+    default_device = jax.config.jax_default_device
+    platform = (default_device.platform if default_device is not None
+                else jax.default_backend())
+    return "pallas" if platform == "tpu" else "lax"
+
+
+@partial(jax.jit, static_argnames=("thresh", "min_size", "ksize", "cc_impl"))
 def _inner_contour_instances(inner_raw, cnt_raw, thresh: float,
-                             min_size: int, ksize: int):
+                             min_size: int, ksize: int, cc_impl: str = "lax"):
     """gland/lumen ErodedContourMap: fg = inner - binarized contour >
     thresh; small-object removal; label; dilate + fill re-growth."""
     cnt = (cnt_raw > 0.5).astype(inner_raw.dtype)
     fg = (inner_raw - cnt) > thresh
-    lab = L.connected_components(fg)
+    lab = _cc(fg, cc_impl)
     lab = L.remove_small_objects(lab, min_size)
     lab = L.dilate_labels(lab, ksize)
     return L.fill_label_holes(lab)
 
 
-@partial(jax.jit, static_argnames=())
-def _nuclei_watershed(inner_raw, cnt_raw):
+@partial(jax.jit, static_argnames=("cc_impl",))
+def _nuclei_watershed(inner_raw, cnt_raw, cc_impl: str = "lax"):
     """nuclei ErodedContourMap: erode(inner+contour>.5, k3) mask (>=8 px),
     inner>.5 markers (>=4 px, holes filled), watershed(-inner)."""
     se3 = L.disk_kernel(3)
     msk = L.binary_erode((inner_raw + cnt_raw) > 0.5, se3)
-    msk_lab = L.connected_components(msk)
+    msk_lab = _cc(msk, cc_impl)
     msk = L.remove_small_objects(msk_lab, 8) > 0
 
-    mrk_lab = L.connected_components(inner_raw > 0.5)
+    mrk_lab = _cc(inner_raw > 0.5, cc_impl)
     mrk_lab = L.remove_small_objects(mrk_lab, 4)
     mrk = L.fill_holes(mrk_lab > 0)
-    markers = L.connected_components(mrk)
+    markers = _cc(mrk, cc_impl)
     return L.watershed(-inner_raw, markers, msk)
 
 
-@partial(jax.jit, static_argnames=("thresh", "min_size", "ksize"))
-def _eroded_map_instances(fg_raw, thresh: float, min_size: int, ksize: int):
+@partial(jax.jit, static_argnames=("thresh", "min_size", "ksize", "cc_impl"))
+def _eroded_map_instances(fg_raw, thresh: float, min_size: int, ksize: int,
+                          cc_impl: str = "lax"):
     """ErodedMap family: threshold, small-object removal, label, regrow."""
     fg = fg_raw > thresh
-    lab = L.connected_components(fg)
+    lab = _cc(fg, cc_impl)
     lab = L.remove_small_objects(lab, min_size)
     lab = L.dilate_labels(lab, ksize)
     return L.fill_label_holes(lab)
@@ -84,7 +114,7 @@ class TPUPostProcInstErodedMap:
         min_size, ksize = cls._SPEC[tissue_mode.upper()]
         s, e = idx_dict["%s-INST" % tissue_mode]
         fg = jnp.asarray(np.squeeze(np.asarray(raw_map[..., s:e])))
-        lab = _eroded_map_instances(fg, 0.5, min_size, ksize)
+        lab = _eroded_map_instances(fg, 0.5, min_size, ksize, _cc_impl())
         inst_map = _compact_labels(lab)
         type_key = tissue_mode + "-TYPE"
         type_map = (np.asarray(raw_map[..., idx_dict[type_key][0]:
@@ -107,13 +137,13 @@ class TPUPostProcInstErodedContourMap:
         cnt = jnp.asarray(fg[..., 1])
         mode = tissue_mode.upper()
         if mode == "NUCLEI":
-            lab = _nuclei_watershed(inner, cnt)
+            lab = _nuclei_watershed(inner, cnt, _cc_impl())
         else:
             thresh, base_min, base_k = cls._SPEC[mode]
             lab = _inner_contour_instances(
                 inner, cnt, thresh,
                 int(base_min * ds_factor ** 2),
-                int((base_k - 1) * ds_factor))
+                int((base_k - 1) * ds_factor), _cc_impl())
         inst_map = _compact_labels(lab)
         type_key = tissue_mode + "-TYPE"
         if type_key in idx_dict:
