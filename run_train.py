@@ -53,19 +53,33 @@ if __name__ == "__main__":
 
         pretrained_params = load_checkpoint(args["--pretrained"])
 
-    # dataset plumbing: a dataset module path in settings.yml dataset_kwargs
-    # ('loader_module') must expose make_loaders(paramset, batch_size)
-    loader_module = paramset.dataset_kwargs.get("loader_module")
-    if loader_module is None:
-        raise SystemExit(
-            "settings.yml must declare dataset_kwargs.loader_module, a "
-            "python module exposing make_loaders(paramset, batch_size) -> "
-            "(train_loaders, valid_loaders)")
-    import importlib
+    # dataset plumbing: built-in MTLPatchDataset over train_dir/valid_dir in
+    # dataset_kwargs, or a custom module exposing make_loaders(paramset, bs)
+    dk = paramset.dataset_kwargs
+    batch_size = int(args["--batch_size"])
+    if dk.get("loader_module"):
+        import importlib
 
-    mod = importlib.import_module(loader_module)
-    train_loaders, valid_loaders = mod.make_loaders(
-        paramset, int(args["--batch_size"]))
+        mod = importlib.import_module(dk["loader_module"])
+        train_loaders, valid_loaders = mod.make_loaders(paramset, batch_size)
+    elif dk.get("train_dir"):
+        from cerberus_tpu.data.train_loader import MTLPatchDataset
+
+        cfg = paramset.model_config
+        common = dict(req_target_code=paramset.req_target_code,
+                      input_shape=int(dk.get("input_shape", 448)),
+                      output_shape=int(dk.get("output_shape", 448)),
+                      batch_size=batch_size)
+        train_loaders = {"train": MTLPatchDataset.from_dir(
+            dk["train_dir"], cfg, **common)}
+        valid_loaders = {"valid": MTLPatchDataset.from_dir(
+            dk.get("valid_dir", dk["train_dir"]), cfg, augment=False,
+            shuffle=False, **common)}
+    else:
+        raise SystemExit(
+            "settings.yml dataset_kwargs must declare either train_dir "
+            "(+ optional valid_dir) for the built-in MTLPatchDataset, or "
+            "loader_module exposing make_loaders(paramset, batch_size)")
 
     run_training(config, train_loaders, valid_loaders, log_dir=log_dir,
                  seed=int(args["--seed"]), pretrained_params=pretrained_params)
