@@ -19,6 +19,23 @@ import os
 import jax
 
 
+def configure_from_env() -> None:
+    """CLI-entry configuration knobs:
+
+    * ``CERBERUS_DEFAULT_DEVICE=cpu|tpu`` pins jax's default device — needed
+      because some accelerator plugins ignore ``JAX_PLATFORMS``;
+    * ``CERBERUS_DEBUG=1`` turns on NaN checking / debug mode.
+    """
+    platform = os.environ.get("CERBERUS_DEFAULT_DEVICE")
+    if platform:
+        try:
+            jax.config.update("jax_default_device", jax.devices(platform)[0])
+        except RuntimeError:
+            pass
+    if debug_mode_requested():
+        enable_debug_mode()
+
+
 def enable_debug_mode() -> None:
     jax.config.update("jax_debug_nans", True)
     jax.config.update("jax_disable_most_optimizations", True)

@@ -24,6 +24,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from cerberus_tpu.config import load_settings
 from cerberus_tpu.utils.cli import docopt
+from cerberus_tpu.utils.debug import configure_from_env
+
+configure_from_env()
 
 if __name__ == "__main__":
     args = docopt(__doc__)

@@ -32,6 +32,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from cerberus_tpu.config import DEFAULT_TARGET_LIST, load_settings
 from cerberus_tpu.utils import rm_n_mkdir
 from cerberus_tpu.utils.cli import docopt
+from cerberus_tpu.utils.debug import configure_from_env
+
+configure_from_env()
 
 if __name__ == "__main__":
     args = docopt(__doc__, version="CoBi Gland Inference (cerberus-tpu)")

@@ -3,7 +3,7 @@
 Usage:
   run_train.py [--gpu=<id>] [--settings=<path>] [--log_dir=<path>] \
                [--nr_epochs=<n>] [--batch_size=<n>] [--seed=<n>] \
-               [--pretrained=<path>]
+               [--pretrained=<path>] [--per_n_steps=<n>]
   run_train.py (-h | --help)
 
 Options:
@@ -15,6 +15,7 @@ Options:
   --batch_size=<n>     Batch size override. [default: 12]
   --seed=<n>           RNG seed. [default: 0]
   --pretrained=<path>  Checkpoint to initialize from (torch tar or native msgpack).
+  --per_n_steps=<n>    Logging/checkpoint/validation cadence in steps. [default: 2000]
 
 The reference ships a complete training engine with NO launcher
 (SURVEY.md §1 — `run_utils/engine.py` has no caller in the repo); this CLI
@@ -30,6 +31,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from cerberus_tpu.config import ParamSet
 from cerberus_tpu.utils import mkdir
 from cerberus_tpu.utils.cli import docopt
+from cerberus_tpu.utils.debug import configure_from_env
+
+configure_from_env()
 
 if __name__ == "__main__":
     args = docopt(__doc__)
@@ -45,6 +49,7 @@ if __name__ == "__main__":
         paramset.loss_kwargs,
         paramset.optimizer_kwargs,
         nr_epochs=int(args["--nr_epochs"]),
+        per_n_steps=int(args["--per_n_steps"]),
     )
 
     pretrained_params = None
