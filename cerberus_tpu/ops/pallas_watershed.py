@@ -1,0 +1,125 @@
+"""Pallas TPU kernel: VMEM-resident marker watershed.
+
+Same level-ordered flooding semantics as ops/lax_postproc.watershed (64
+elevation buckets, min-marker-id plateau ties, no overwrite of labeled
+pixels), but the whole levels x propagation loop nest runs inside ONE
+pallas_call with the image/label planes resident in VMEM — no HBM round
+trip per sweep. Applicable to tiles whose working set fits VMEM
+(~<= 1024^2 f32 planes); larger canvases use the lax kernel (or the
+mesh-sharded variant in ops/sharded_cc.py).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import lax_postproc as L
+
+N_LEVELS = 64
+# 4 planes (img, lab, mask, level) + temps; stay well under ~16 MB VMEM
+MAX_VMEM_PIXELS = 1024 * 1024
+
+
+def _ws_kernel(image_ref, markers_ref, mask_ref, out_ref, *, n_levels):
+    mask = mask_ref[:] != 0
+    h, w = mask.shape
+    big = jnp.int32(h * w + 2)
+    lab = jnp.where(mask, markers_ref[:], 0)
+
+    img = jnp.where(mask, image_ref[:], jnp.inf)
+    lo = jnp.min(img)
+    hi = jnp.max(jnp.where(mask, image_ref[:], -jnp.inf))
+    span = jnp.maximum(hi - lo, 1e-6)
+    level_of = jnp.clip(((img - lo) / span * (n_levels - 1)).astype(jnp.int32),
+                        0, n_levels - 1)
+
+    def neighbor_min(x):
+        up = jnp.concatenate([jnp.full((1, w), big, jnp.int32), x[:-1]], 0)
+        down = jnp.concatenate([x[1:], jnp.full((1, w), big, jnp.int32)], 0)
+        left = jnp.concatenate([jnp.full((h, 1), big, jnp.int32),
+                                x[:, :-1]], 1)
+        right = jnp.concatenate([x[:, 1:],
+                                 jnp.full((h, 1), big, jnp.int32)], 1)
+        return jnp.minimum(jnp.minimum(up, down), jnp.minimum(left, right))
+
+    def level_body(level, lab):
+        allowed = mask & (level_of <= level)
+        work0 = jnp.where(lab == 0, big, lab)
+
+        def cond(state):
+            _w, changed = state
+            return changed
+
+        def body(state):
+            work, _ = state
+            cand = neighbor_min(work)
+            new = jnp.where(allowed & (work == big), cand, work)
+            return new, jnp.any(new != work)
+
+        work, _ = jax.lax.while_loop(cond, body, (work0, jnp.bool_(True)))
+        return jnp.where(work == big, 0, work)
+
+    lab = jax.lax.fori_loop(0, n_levels, level_body, lab)
+    out_ref[:] = jnp.where(mask, lab, 0)
+
+
+def _pad_to_tile(x, tile=(8, 128)):
+    h, w = x.shape
+    ph = (-h) % tile[0]
+    pw = (-w) % tile[1]
+    if ph or pw:
+        x = jnp.pad(x, ((0, ph), (0, pw)))
+    return x
+
+
+def ws_pallas(image, markers, mask, n_levels: int = N_LEVELS,
+              interpret: bool = False):
+    """Traceable (un-jitted) pallas watershed — usable inside larger jitted
+    programs (ops/tpu_postproc)."""
+    h, w = image.shape
+    img_p = _pad_to_tile(image.astype(jnp.float32))
+    mrk_p = _pad_to_tile(markers.astype(jnp.int32))
+    msk_p = _pad_to_tile(mask.astype(jnp.int32))
+    space = pl.ANY if interpret else pltpu.VMEM
+    out = pl.pallas_call(
+        partial(_ws_kernel, n_levels=n_levels),
+        out_shape=jax.ShapeDtypeStruct(img_p.shape, jnp.int32),
+        in_specs=[pl.BlockSpec(memory_space=space)] * 3,
+        out_specs=pl.BlockSpec(memory_space=space),
+        interpret=interpret,
+    )(img_p, mrk_p, msk_p)
+    return out[:h, :w]
+
+
+@partial(jax.jit, static_argnames=("n_levels", "interpret"))
+def watershed_pallas(image, markers, mask, n_levels: int = N_LEVELS,
+                     interpret: bool = False):
+    return ws_pallas(image, markers, mask, n_levels, interpret)
+
+
+def watershed(image, markers, mask, n_levels: int = N_LEVELS,
+              prefer_pallas: bool = None):
+    """Dispatch: pallas on TPU for VMEM-sized tiles, lax otherwise."""
+    import os
+
+    if prefer_pallas is None:
+        env = os.environ.get("CERBERUS_PALLAS", "")
+        if env == "0":
+            prefer_pallas = False
+        else:
+            default_device = jax.config.jax_default_device
+            platform = (default_device.platform if default_device is not None
+                        else jax.default_backend())
+            prefer_pallas = platform == "tpu"
+    h, w = image.shape
+    if prefer_pallas and h * w <= MAX_VMEM_PIXELS:
+        try:
+            return watershed_pallas(image, markers, mask, n_levels)
+        except Exception:
+            pass
+    return L.watershed(image, markers, mask, n_levels)
