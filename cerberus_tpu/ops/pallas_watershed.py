@@ -3,10 +3,14 @@
 Same level-ordered flooding semantics as ops/lax_postproc.watershed (64
 elevation buckets, min-marker-id plateau ties, no overwrite of labeled
 pixels), but the whole levels x propagation loop nest runs inside ONE
-pallas_call with the image/label planes resident in VMEM — no HBM round
-trip per sweep. Applicable to tiles whose working set fits VMEM
-(~<= 1024^2 f32 planes); larger canvases use the lax kernel (or the
-mesh-sharded variant in ops/sharded_cc.py).
+pallas_call with the image/label planes resident in VMEM.
+
+MEASURED RESULT (v5e, 448^2 dense markers): 58 ms vs 62 ms for the lax
+kernel — no speedup, because the 64-level flood loop dominates and XLA
+already keeps the small planes on-chip across sweeps. Kept as a verified
+building block (exact-match tests in interpreter mode) but NOT wired into
+the production families; contrast with ops/pallas_cc.py where the same
+treatment yields 4.1x.
 """
 from __future__ import annotations
 

@@ -80,15 +80,9 @@ def _nuclei_watershed(inner_raw, cnt_raw, cc_impl: str = "lax"):
     mrk_lab = L.remove_small_objects(mrk_lab, 4)
     mrk = L.fill_holes(mrk_lab > 0)
     markers = _cc(mrk, cc_impl)
-    h, w = inner_raw.shape
-    if cc_impl == "pallas" and h * w <= 1024 * 1024:
-        from .pallas_watershed import ws_pallas
-
-        return ws_pallas(-inner_raw, markers, msk)
-    if cc_impl == "pallas_interp" and h * w <= 1024 * 1024:
-        from .pallas_watershed import ws_pallas
-
-        return ws_pallas(-inner_raw, markers, msk, interpret=True)
+    # NB: a VMEM-resident pallas watershed exists (ops/pallas_watershed.py)
+    # but measured EQUAL to the lax kernel on v5e (58 vs 62 ms at 448^2) —
+    # the 64-level flood loop dominates either way — so the lax path stays
     return L.watershed(-inner_raw, markers, msk)
 
 
