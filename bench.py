@@ -23,7 +23,7 @@ from cerberus_tpu.config import DEFAULT_DECODER_KWARGS, ModelConfig
 from cerberus_tpu.infer.steps import fused_infer_outputs
 from cerberus_tpu.models.net_desc import init_net_params
 
-BATCH = 64
+BATCH = 128
 WARMUP = 2
 ITERS = 10
 EST_REFERENCE_TILES_PER_SEC = 25.0
@@ -36,7 +36,7 @@ def _watchdog(seconds: int = 480) -> None:
 
     def on_alarm(_sig, _frame):
         print(json.dumps({
-            "metric": "448^2 tiles/sec/chip (6-head fused forward+activations, bf16, batch 64)",
+            "metric": "448^2 tiles/sec/chip (6-head fused forward+activations, bf16, batch 128)",
             "value": 0.0,
             "unit": "tiles/s",
             "vs_baseline": 0.0,
@@ -95,7 +95,7 @@ def main() -> None:
 
     tiles_per_sec = BATCH * ITERS / best_dt
     print(json.dumps({
-        "metric": "448^2 tiles/sec/chip (6-head fused forward+activations, bf16, batch 64)",
+        "metric": "448^2 tiles/sec/chip (6-head fused forward+activations, bf16, batch 128)",
         "value": round(tiles_per_sec, 2),
         "unit": "tiles/s",
         "vs_baseline": round(tiles_per_sec / EST_REFERENCE_TILES_PER_SEC, 2),
