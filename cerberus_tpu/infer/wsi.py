@@ -486,9 +486,18 @@ class InferManager(BaseInferManager):
             if not os.path.exists(
                     self.output_dir + "/dat/%s.dat" % wsi_basename):
                 self.logger.info(f"Processing {wsi_basename} ...")
-                self.process_single_file(ioconfig, ioconfig_pp, wsi_path,
-                                         mask_path, wsi_basename,
-                                         self.output_dir)
+                from ..utils.profiling import maybe_profile
+
+                # CERBERUS_PROFILE_DIR=<dir> dumps a TensorBoard/XPlane
+                # profile per run; the per-phase wall-clock spans go to the
+                # per-slide log either way
+                import jax as _jax
+
+                with maybe_profile(), _jax.profiler.TraceAnnotation(
+                        f"wsi/{wsi_basename}"):
+                    self.process_single_file(ioconfig, ioconfig_pp, wsi_path,
+                                             mask_path, wsi_basename,
+                                             self.output_dir)
                 self.logger.info("Overall Time: %.4f"
                                  % (time.perf_counter() - start))
                 self.logger.info("Finish")
