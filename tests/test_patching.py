@@ -51,3 +51,11 @@ def test_channel_index_map_default_layout():
         "Gland-TYPE": [7, 8],
         "Patch-Class": [8, 9],
     }
+
+
+def test_too_small_image_clear_error():
+    import pytest
+
+    img = np.zeros((100, 100, 3), np.uint8)
+    with pytest.raises(ValueError, match="too small"):
+        prepare_patching(img, 448, 144, 0)
