@@ -38,14 +38,6 @@ def prepare_patching(img: np.ndarray, input_size: int, output_size: int,
     padb = last_h + win_size - im_h
     padr = last_w + win_size - im_w
 
-    # reflect padding requires pad < dim; give a clear error instead of the
-    # reference's np.pad crash on tiles smaller than ~the output window
-    if padb >= im_h or padr >= im_w:
-        raise ValueError(
-            f"image {im_h}x{im_w} too small for patch geometry "
-            f"(input {input_size}, output {output_size}): required reflect "
-            f"padding ({padb}, {padr}) exceeds the image; upscale the input "
-            "or reduce --patch_output_shape")
     padded_img = np.pad(img, ((padt, padb), (padl, padr), (0, 0)), "reflect")
 
     # grid of top-left corners; note the reference meshgrids (y, x) in xy-order

@@ -53,9 +53,12 @@ def test_channel_index_map_default_layout():
     }
 
 
-def test_too_small_image_clear_error():
-    import pytest
-
-    img = np.zeros((100, 100, 3), np.uint8)
-    with pytest.raises(ValueError, match="too small"):
-        prepare_patching(img, 448, 144, 0)
+def test_small_image_multi_reflection_pad():
+    # images smaller than the window still work: np.pad 'reflect' reflects
+    # repeatedly, so a 100^2 input yields a valid 448-window grid
+    img = np.arange(100 * 100 * 3, dtype=np.uint8).reshape(100, 100, 3)
+    padded, info, src_pos = prepare_patching(img, 448, 144, 0)
+    assert len(info) >= 1
+    np.testing.assert_array_equal(
+        padded[src_pos[0]: src_pos[0] + 100, src_pos[1]: src_pos[1] + 100],
+        img)
