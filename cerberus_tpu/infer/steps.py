@@ -26,15 +26,9 @@ from ..data.patching import make_channel_index_map
 from ..models.layers import center_crop
 from ..models.net_desc import net_forward
 
-# head order used when re-splitting the fused canvas tensor per head
-HEAD_NAME_MAP = {
-    "Gland": "Gland-INST",
-    "Gland#TYPE": "Gland-TYPE",
-    "Lumen": "Lumen-INST",
-    "Nuclei": "Nuclei-INST",
-    "Nuclei#TYPE": "Nuclei-TYPE",
-    "Patch-Class": "Patch-Class",
-}
+# NB: the reference remaps decoder names to head codes inside infer_step
+# (models/run_desc.py:466-473, Gland -> Gland-INST etc.); here net_forward
+# already emits head codes, so no remap table is needed.
 
 
 def model_head_outputs(params, imgs, cfg: ModelConfig,
