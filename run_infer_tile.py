@@ -3,7 +3,8 @@
 Usage:
   run_infer_tile.py [--gpu=<id>] [--model=<path>] [--nr_inference_workers=<n>] \
             [--nr_post_proc_workers=<n>] [--batch_size=<n>] [--input_dir=<path>] \
-            [--output_dir=<path>] [--patch_input_shape=<n>] [--patch_output_shape=<n>]
+            [--output_dir=<path>] [--patch_input_shape=<n>] [--patch_output_shape=<n>] \
+            [--postproc_backend=<str>]
   run_infer_tile.py (-h | --help)
   run_infer_tile.py --version
 
@@ -19,6 +20,7 @@ Options:
   --output_dir=<path>         Path to output data directory. Will create automtically if doesn't exist. [default: output/]
   --patch_input_shape=<n>     Shape of input patch to the network- Assume square shape. [default: 448]
   --patch_output_shape=<n>    Shape of network output- Assume square shape. [default: 144]
+  --postproc_backend=<str>    Instance post-processing backend: cpu (scipy/cv2 oracle) or tpu (on-chip lax/Pallas kernels). [default: cpu]
 
 Flag surface is bit-for-bit the reference CLI (run_infer_tile.py:1-23). The
 ``--gpu`` flag is accepted for drop-in compatibility; device selection on TPU
@@ -58,6 +60,7 @@ if __name__ == "__main__":
         "patch_output_shape": int(args["--patch_output_shape"]),
         "patch_output_overlap": 0,
         "postproc_list": list(DEFAULT_TARGET_LIST),
+        "postproc_backend": args["--postproc_backend"],
     }
 
     from cerberus_tpu.infer.tile import InferManager
