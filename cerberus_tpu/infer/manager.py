@@ -46,15 +46,25 @@ class InferManager:
                  model_args: Optional[dict] = None,
                  params: Optional[Dict] = None,
                  compute_dtype=jnp.bfloat16,
+                 mesh=None,
                  **kwargs):
+        """``mesh``: a 1-D ``jax.sharding.Mesh`` to batch-shard inference
+        over (the DataParallel analog, SURVEY.md §2.9). ``mesh='auto'``
+        builds one over all local devices when more than one is visible."""
         self.checkpoint_path = checkpoint_path
         self.decoder_dict = decoder_dict or {}
         self.model_args = model_args or {}
         self.compute_dtype = compute_dtype
+        self.mesh = mesh
         for variable, value in kwargs.items():
             setattr(self, variable, value)
         self.cfg = ModelConfig.from_kwargs(self.model_args)
         _enable_compilation_cache()
+        if self.mesh == "auto":
+            from ..parallel.mesh import make_mesh
+
+            devices = jax.devices()
+            self.mesh = make_mesh(devices) if len(devices) > 1 else None
         self._load_model(params)
 
     def _load_model(self, params: Optional[Dict]) -> None:
@@ -72,13 +82,22 @@ class InferManager:
         self._step_cache: Dict[int, callable] = {}
 
     def run_step(self, batch: np.ndarray, output_shape: int) -> np.ndarray:
-        """uint8 NHWC batch -> (N, out, out, C_total) float32 numpy.
+        """uint8 NHWC batch -> (N, out, out, C_total) array.
 
         One compiled executable per output_shape; batch shape is the caller's
-        responsibility (pad to a fixed size to avoid recompiles).
+        responsibility (pad to a fixed size to avoid recompiles). With a mesh
+        configured, the batch is sharded across its devices (params
+        replicated) — batch size must divide by the mesh size.
         """
         if output_shape not in self._step_cache:
-            self._step_cache[output_shape] = make_infer_step(
-                self.params, self.cfg, output_shape, self.compute_dtype
-            )
+            if self.mesh is not None:
+                from ..parallel.mesh import make_sharded_infer_step
+
+                self._step_cache[output_shape] = make_sharded_infer_step(
+                    self.params, self.cfg, self.mesh, output_shape,
+                    self.compute_dtype)
+            else:
+                self._step_cache[output_shape] = make_infer_step(
+                    self.params, self.cfg, output_shape, self.compute_dtype
+                )
         return self._step_cache[output_shape](batch)

@@ -391,8 +391,14 @@ class InferManager(BaseInferManager):
                 region = cv2.resize(region, (0, 0), fx=ds, fy=ds)
                 if region.ndim == 2:
                     region = region[..., None]
-                proc_cls = POSTPROC_FUNC_DICT[
-                    self.decoder_dict[f"{tissue_code}-INST"]]
+                if getattr(self, "postproc_backend", "cpu") == "tpu":
+                    from ..ops.tpu_postproc import TPU_POSTPROC_FUNC_DICT
+
+                    proc_cls = TPU_POSTPROC_FUNC_DICT[
+                        self.decoder_dict[f"{tissue_code}-INST"]]
+                else:
+                    proc_cls = POSTPROC_FUNC_DICT[
+                        self.decoder_dict[f"{tissue_code}-INST"]]
                 inst_map, type_map = proc_cls.post_process(
                     region, new_idx, tissue_code, ds)
                 pred_inst_map[tissue_code] = inst_map
