@@ -66,9 +66,14 @@ def get_config(model_kwargs: Dict, loss_kwargs: Dict,
 
 def build_trainer(config: Dict, train_loaders: Dict, valid_loaders: Dict,
                   log_dir: Optional[str] = None, seed: int = 0,
-                  pretrained_params=None, best_metric: Optional[str] = None):
+                  pretrained_params=None, best_metric: Optional[str] = None,
+                  mesh=None, remat: bool = False):
     """Build chained train/infer engines for phase 0; returns (train_engine,
-    infer_engine, net_holder)."""
+    infer_engine, net_holder).
+
+    ``mesh``: a 1-D device mesh for data-parallel training (params/opt state
+    replicated, batch sharded); ``remat`` enables per-stage activation
+    rematerialization for large-batch training."""
     phase = config["phase_list"][0]
     net_cfg = phase["run_info"]["net"]
     cfg = ModelConfig.from_kwargs(net_cfg["model_kwargs"])
@@ -80,10 +85,18 @@ def build_trainer(config: Dict, train_loaders: Dict, valid_loaders: Dict,
     schedule = make_lr_schedule(
         float(net_cfg["optimizer_kwargs"].get("lr", 1e-3)),
         int(net_cfg.get("lr_decay_steps", 75000)))
-    train_step, tx = make_train_step(cfg, loss_kwargs,
-                                     net_cfg["optimizer_kwargs"])
-    state = TrainState(params=params, opt_state=tx.init(params),
-                       step=np.int32(0))
+    if mesh is not None:
+        from ..parallel.mesh import make_sharded_train_step
+
+        train_step, init_state, tx = make_sharded_train_step(
+            cfg, mesh, loss_kwargs, net_cfg["optimizer_kwargs"])
+        state = init_state(params)
+    else:
+        train_step, tx = make_train_step(cfg, loss_kwargs,
+                                         net_cfg["optimizer_kwargs"],
+                                         remat=remat)
+        state = TrainState(params=params, opt_state=tx.init(params),
+                           step=np.int32(0))
     net = NetHolder(state, train_step=train_step, schedule=schedule,
                     rng=jax.random.PRNGKey(seed + 1), cfg=cfg,
                     extra_info=net_cfg["extra_info"])
@@ -169,10 +182,11 @@ def build_trainer(config: Dict, train_loaders: Dict, valid_loaders: Dict,
 
 def run_training(config: Dict, train_loaders: Dict, valid_loaders: Dict,
                  log_dir: Optional[str] = None, seed: int = 0,
-                 pretrained_params=None):
+                 pretrained_params=None, best_metric=None, mesh=None,
+                 remat: bool = False):
     train_engine, _infer_engine, net = build_trainer(
         config, train_loaders, valid_loaders, log_dir, seed,
-        pretrained_params)
+        pretrained_params, best_metric=best_metric, mesh=mesh, remat=remat)
     nr_epochs = config["phase_list"][0]["nr_epochs"]
     train_engine.run(nr_epoch=nr_epochs)
     return net

@@ -125,9 +125,12 @@ if __name__ == "__main__":
 
     from cerberus_tpu.infer.wsi import InferManager
 
+    # mesh='auto': batch-shard across all visible chips (the reference's
+    # DataParallel-over-visible-GPUs behavior); no-op on a single chip
     infer = InferManager(
         checkpoint_path=checkpoint_path,
         decoder_dict=paramset.req_target_code,
         model_args=paramset.model_kwargs,
+        mesh="auto",
     )
     infer.process_wsi_list(run_args)

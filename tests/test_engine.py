@@ -96,3 +96,27 @@ def test_trainer_micro_run(tmp_path):
         stats = yaml.safe_load(f)
     all_keys = {k for epoch in stats.values() for k in epoch}
     assert any("acc" in k for k in all_keys), all_keys
+
+
+def test_trainer_on_mesh(tmp_path):
+    import conftest
+
+    from cerberus_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(conftest.cpu_mesh_devices())
+    config = get_config(MODEL_KWARGS, LOSS_KWARGS, nr_epochs=1, per_n_steps=5)
+    train_engine, _infer, net = build_trainer(
+        config, {"train": FakeLoader(1, hw=48)}, {"valid": FakeLoader(1)},
+        mesh=mesh)
+    # batch of 2 splits across... mesh size 8 needs batch % 8 == 0; use a
+    # loader with batch 8
+    class Loader8(FakeLoader):
+        batch_size = 8
+
+        def __iter__(self):
+            for b in super().__iter__():
+                yield {k: np.concatenate([v] * 4) for k, v in b.items()}
+
+    train_engine.loader_dict = {"train": Loader8(1)}
+    train_engine.run(nr_epoch=1)
+    assert int(net.state.step) == 1
