@@ -431,6 +431,14 @@ class InferManager(BaseInferManager):
         wsi_inst_info["proc_dimensions"] = np.asarray(wsi_proc_shape)
         wsi_inst_info["base_dimensions"] = np.asarray(wsi_base_shape)
         joblib.dump(wsi_inst_info, "%s/dat/%s.dat" % (output_dir, wsi_basename))
+        if getattr(self, "save_json", False):
+            from ..utils import save_json
+
+            mkdir(f"{output_dir}/json/")
+            save_json(f"{output_dir}/json/{wsi_basename}.json",
+                      {k: v for k, v in wsi_inst_info.items()
+                       if k in ("Nuclei", "Gland", "Lumen")},
+                      mag=self.wsi_proc_mag)
         canvas.close()
 
     # ------------------------------------------------------------------

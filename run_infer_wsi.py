@@ -6,7 +6,7 @@ Usage:
             [--ambiguous_size=<int>] [--wsi_proc_mag=<n>] [--wsi_file_ext=<str>] [--cache_path=<path>] \
             [--logging_dir=<path>] [--input_dir=<path>] [--msk_dir=<path>] [--output_dir=<path>] [--patch_input_shape=<n>] \
             [--patch_output_shape=<n>] [--wsi_bulk_idx=<n>] [--wsi_proc_step=<n>] [--save_thumb] [--save_mask] [--auto_mask] \
-            [--postproc_backend=<str>]
+            [--postproc_backend=<str>] [--save_json]
   run_infer_wsi.py (-h | --help)
   run_infer_wsi.py --version
 
@@ -36,6 +36,7 @@ Options:
   --save_mask                 Whether to save the slide mask
   --auto_mask                 Generate tissue masks automatically (stain-entropy Otsu) for slides without one
   --postproc_backend=<str>    Instance post-processing backend: cpu or tpu (on-chip kernels). [default: cpu]
+  --save_json                 Also export per-slide instance dictionaries as json/<name>.json
 
 Flag surface is bit-for-bit the reference CLI (run_infer_wsi.py:1-37),
 including the bulk-sharding contract: slides [(bulk_idx-1)*step, bulk_idx*step)
@@ -121,6 +122,7 @@ if __name__ == "__main__":
         "wsi_proc_mag": float(args["--wsi_proc_mag"]),
         "auto_mask": bool(args["--auto_mask"]),
         "postproc_backend": args["--postproc_backend"],
+        "save_json": bool(args["--save_json"]),
     }
 
     from cerberus_tpu.infer.wsi import InferManager

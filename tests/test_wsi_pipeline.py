@@ -82,6 +82,7 @@ def test_wsi_pipeline_end_to_end(wsi_setup):
         "patch_output_shape": 48,
         "save_thumb": False,
         "save_mask": True,
+        "save_json": True,
         "postproc_list": list(DEFAULT_TARGET_LIST),
         "tile_shape": 240,
         "chunk_shape": 480,
@@ -109,6 +110,11 @@ def test_wsi_pipeline_end_to_end(wsi_setup):
     assert np.all(tissue["pclass"][:, 90:] == 0)
 
     assert os.path.exists(f"{output_dir}/mask/slide_a.png")
+    import json as _json
+
+    with open(f"{output_dir}/json/slide_a.json") as f:
+        jd = _json.load(f)
+    assert set(jd["instances"].keys()) >= {"Nuclei", "Gland", "Lumen"}
     assert len(os.listdir(f"{root}/logging")) >= 1
     # cache wiped at the end
     assert os.listdir(str(root / "cache")) == []
