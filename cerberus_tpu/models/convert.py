@@ -95,6 +95,41 @@ def load_native_checkpoint(path: str) -> Dict:
     return tree["params"]
 
 
+def save_train_state(path: str, params: Dict, opt_state=None,
+                     step: int = 0) -> None:
+    """Full training checkpoint: params + optimizer state + step — the
+    analog of the reference's ``{desc, optimizer, lr_scheduler}`` payload
+    (run_utils/callbacks/base.py:122-128). The LR schedule is a pure
+    function of ``step`` here, so step subsumes the scheduler state."""
+    from flax.serialization import to_state_dict
+
+    blob = serialization.msgpack_serialize({
+        "params": {k: dict(v) for k, v in params.items()},
+        "opt_state": to_state_dict(opt_state) if opt_state is not None else {},
+        "step": np.int64(step),
+    })
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as handle:
+        handle.write(blob)
+    os.replace(tmp, path)
+
+
+def load_train_state(path: str, opt_state_template=None):
+    """Returns (params, opt_state_or_None, step). Pass the freshly-built
+    optimizer state as ``opt_state_template`` to restore its exact pytree
+    structure (msgpack stores it as nested dicts)."""
+    from flax.serialization import from_state_dict
+
+    with open(path, "rb") as handle:
+        tree = serialization.msgpack_restore(handle.read())
+    params = tree["params"]
+    step = int(tree.get("step", 0))
+    opt_state = None
+    if tree.get("opt_state") and opt_state_template is not None:
+        opt_state = from_state_dict(opt_state_template, tree["opt_state"])
+    return params, opt_state, step
+
+
 def load_checkpoint(path: str) -> Dict:
     """Load either a native msgpack checkpoint or a reference torch tar.
 

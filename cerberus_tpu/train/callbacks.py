@@ -105,8 +105,15 @@ class PeriodicSaver(BaseCallbacks):
                    if self.per_n_epoch is not None
                    else "step-%06d" % global_state.curr_global_step)
         for net_name, net in state.run_info.items():
-            save_checkpoint("%s/%s_%s.tar" % (state.log_dir, net_name, tracker),
-                            net.state.params, step=int(net.state.step))
+            # full payload like the reference ({desc, optimizer, scheduler},
+            # run_utils/callbacks/base.py:122-128); still loadable as a
+            # params-only checkpoint through load_checkpoint
+            from ..models.convert import save_train_state
+
+            save_train_state(
+                "%s/%s_%s.tar" % (state.log_dir, net_name, tracker),
+                net.state.params, net.state.opt_state,
+                step=int(net.state.step))
 
 
 class ConditionalSaver(BaseCallbacks):

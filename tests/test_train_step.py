@@ -169,3 +169,40 @@ def test_remat_train_step_matches_plain():
     s0 = outs[False][0].params["backbone.bn1"]["mean"]
     s1 = outs[True][0].params["backbone.bn1"]["mean"]
     np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), atol=1e-6)
+
+
+def test_train_state_checkpoint_roundtrip(tmp_path):
+    """Full train-state save/restore: optimizer moments and step survive."""
+    from cerberus_tpu.models.convert import (
+        load_checkpoint,
+        load_train_state,
+        save_train_state,
+    )
+
+    params = init_net_params(jax.random.PRNGKey(0), CFG)
+    step_fn, tx = make_train_step(CFG, LOSS_KWARGS, {"lr": 1e-3},
+                                  donate=False)
+    state = TrainState(params=params, opt_state=tx.init(params),
+                       step=jnp.zeros((), jnp.int32))
+    batch = _make_batch(np.random.default_rng(0))
+    state, _ = step_fn(state, batch, jax.random.PRNGKey(1))
+
+    path = str(tmp_path / "ckpt.tar")
+    save_train_state(path, state.params, state.opt_state,
+                     step=int(state.step))
+
+    template = tx.init(params)
+    p2, opt2, step2 = load_train_state(path, template)
+    assert step2 == 1
+    # adam moments restored (nonzero after one step)
+    flat_a = jax.tree.leaves(state.opt_state)
+    flat_b = jax.tree.leaves(opt2)
+    assert len(flat_a) == len(flat_b)
+    moved = [np.abs(np.asarray(x)).max() for x in flat_b
+             if hasattr(x, "shape") and np.asarray(x).size > 1]
+    assert any(m > 0 for m in moved)
+    # params-only loader still reads the same file
+    p3 = load_checkpoint(path)
+    np.testing.assert_allclose(
+        np.asarray(p3["backbone.conv1"]["kernel"]),
+        np.asarray(state.params["backbone.conv1"]["kernel"]))
