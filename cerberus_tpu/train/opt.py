@@ -97,6 +97,19 @@ def build_trainer(config: Dict, train_loaders: Dict, valid_loaders: Dict,
                                          remat=remat)
         state = TrainState(params=params, opt_state=tx.init(params),
                            step=np.int32(0))
+        resume_from = net_cfg.get("resume_from")
+        if resume_from:
+            # full resume: params + optimizer moments + step (and thereby
+            # the LR schedule position)
+            from ..models.convert import load_train_state
+
+            r_params, r_opt, r_step = load_train_state(resume_from,
+                                                       state.opt_state)
+            state = TrainState(
+                params={k: {kk: np.asarray(vv) for kk, vv in v.items()}
+                        for k, v in r_params.items()},
+                opt_state=r_opt if r_opt is not None else state.opt_state,
+                step=np.int32(r_step))
     net = NetHolder(state, train_step=train_step, schedule=schedule,
                     rng=jax.random.PRNGKey(seed + 1), cfg=cfg,
                     extra_info=net_cfg["extra_info"])

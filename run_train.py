@@ -3,7 +3,7 @@
 Usage:
   run_train.py [--gpu=<id>] [--settings=<path>] [--log_dir=<path>] \
                [--nr_epochs=<n>] [--batch_size=<n>] [--seed=<n>] \
-               [--pretrained=<path>] [--per_n_steps=<n>]
+               [--pretrained=<path>] [--per_n_steps=<n>] [--resume=<path>]
   run_train.py (-h | --help)
 
 Options:
@@ -16,6 +16,7 @@ Options:
   --seed=<n>           RNG seed. [default: 0]
   --pretrained=<path>  Checkpoint to initialize from (torch tar or native msgpack).
   --per_n_steps=<n>    Logging/checkpoint/validation cadence in steps. [default: 2000]
+  --resume=<path>      Resume a full training checkpoint (params + optimizer + step).
 
 The reference ships a complete training engine with NO launcher
 (SURVEY.md §1 — `run_utils/engine.py` has no caller in the repo); this CLI
@@ -51,6 +52,9 @@ if __name__ == "__main__":
         nr_epochs=int(args["--nr_epochs"]),
         per_n_steps=int(args["--per_n_steps"]),
     )
+    if args["--resume"]:
+        config["phase_list"][0]["run_info"]["net"]["resume_from"] = \
+            args["--resume"]
 
     pretrained_params = None
     if args["--pretrained"]:
