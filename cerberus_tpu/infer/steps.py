@@ -61,13 +61,32 @@ def model_head_outputs(params, imgs, cfg: ModelConfig,
 def fused_infer_outputs(params, imgs, cfg: ModelConfig, output_shape: int,
                         compute_dtype=jnp.bfloat16, fused=None,
                         head_specs=None,
-                        out_dtype=jnp.float32) -> jnp.ndarray:
+                        out_dtype=jnp.float32,
+                        valid_region: bool = True) -> jnp.ndarray:
     """Forward + activations + crop -> (N, output_shape, output_shape, C).
 
     ``out_dtype=float16`` halves the D2H payload; probabilities lose nothing
-    material (thresholded at 0.5/0.55 downstream) and argmax ids are exact."""
-    pred_dict = model_head_outputs(params, imgs, cfg, compute_dtype,
-                                   fused, head_specs)
+    material (thresholded at 0.5/0.55 downstream) and argmax ids are exact.
+
+    ``valid_region`` (default ON): run the decoder towers only on the central
+    output window + receptive-field margin (models/valid_decode.py) — the
+    reference computes full 448^2 towers and crops afterwards
+    (models/run_desc.py:489), discarding ~8x of the decoder FLOPs. The kept
+    pixels are bit-identical. Falls back to the full path for DSF encoders,
+    the grouped-fused decoder bank, or geometries whose crop windows don't
+    fit."""
+    plan = None
+    if valid_region and fused is None:
+        from ..models.valid_decode import supports_valid_region
+
+        plan = supports_valid_region(cfg, int(imgs.shape[1]), output_shape)
+    if plan is not None:
+        from ..models.valid_decode import valid_head_outputs
+
+        pred_dict = valid_head_outputs(params, imgs, cfg, plan, compute_dtype)
+    else:
+        pred_dict = model_head_outputs(params, imgs, cfg, compute_dtype,
+                                       fused, head_specs)
     # only considered tasks contribute canvas channels (partial-task
     # checkpoints, e.g. nuclei-only configs)
     idx_dict, _n_ch = make_channel_index_map(cfg.active_decoder_kwargs)
@@ -107,6 +126,11 @@ def make_infer_step(params, cfg: ModelConfig, output_shape: int = 144,
     The sequential towers let XLA free each tower's activations before the
     next, peaking at ~1/5 the memory for the same math.
     """
+    # escape hatch: CERBERUS_VALID_REGION=0 restores the reference's
+    # full-tower-then-crop compute (e.g. to isolate a numerics question)
+    import os
+
+    valid_region = os.environ.get("CERBERUS_VALID_REGION", "1") != "0"
     fused = head_specs = None
     if fuse_decoders:
         try:
@@ -119,7 +143,8 @@ def make_infer_step(params, cfg: ModelConfig, output_shape: int = 144,
     @partial(jax.jit, static_argnames=())
     def step(p, fz, imgs):
         return fused_infer_outputs(p, imgs, cfg, output_shape, compute_dtype,
-                                   fz, head_specs, out_dtype)
+                                   fz, head_specs, out_dtype,
+                                   valid_region=valid_region)
 
     return lambda imgs: step(params, fused, imgs)
 

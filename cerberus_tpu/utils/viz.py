@@ -199,7 +199,14 @@ def visualize_instances_dict(input_image, inst_dict_all, viz_info=None):
         line_width = info["line_width"]
         for _inst_id, inst_info in inst_dict_all[tissue].items():
             if "type" in inst_info:
-                colour = info["type_colour"][inst_info["type"]]
+                # Fall back to inst_colour for type ids missing from the
+                # table: the lumen-typed-by-gland quirk (infer/tile.py) can
+                # assign lumen instances gland type ids outside lumen's
+                # 2-entry colour map — the reference's
+                # visualize_instances_dict_orig raises KeyError there
+                # (deliberate divergence; PARITY.md).
+                colour = info["type_colour"].get(
+                    inst_info["type"], info.get("inst_colour", [255, 0, 0]))
             else:
                 colour = info["inst_colour"]
             colour = tuple(int(c) for c in colour[:3])
