@@ -1,13 +1,19 @@
-"""Benchmark: 448^2 tiles/sec/chip for the fused 6-head inference step.
+"""Benchmark: 448^2 tiles/sec/chip, 6-head forward + on-chip instance
+postprocessing (the BASELINE.json metric), plus forward-only throughput.
 
-Measures the production configuration (bf16 compute, batch 32, all six heads
-+ in-graph activations/crops emitting the stitcher-ready canvas tensor) on
-the default accelerator. Prints ONE JSON line.
+Pipeline measured per iteration (batch 128):
+  uint8 tiles -> fused forward (bf16, valid-region decoders) + activations
+  -> on-chip stitch into one canvas -> gland/lumen eroded-contour postproc,
+  nuclei marker watershed, lumen-by-gland gate (ops/tpu_postproc kernels)
+  -> instance label maps materialized on host.
 
-vs_baseline: the reference publishes no throughput numbers (BASELINE.md);
-the divisor is the reference's default tile operating point of ~25
-448^2-patches/s implied by its shipped batch-25 single-GPU examples —
-an explicitly-labeled estimate, not a measured torch number.
+vs_baseline: the reference publishes no throughput numbers (BASELINE.md).
+Denominator = 25 tiles/s, the operating point implied by its shipped
+batch-25 single-GPU examples — an estimate, clearly labeled. A MEASURED
+reference number also exists: 0.13 tiles/s for the reference's own
+``infer_step`` on torch-CPU/1-core in this image
+(tools/bench_reference_torch.py) — reported alongside, not used as the
+divisor (a 2022 GPU is the honest peer, not one CPU core).
 """
 from __future__ import annotations
 
@@ -24,9 +30,11 @@ from cerberus_tpu.infer.steps import fused_infer_outputs
 from cerberus_tpu.models.net_desc import init_net_params
 
 BATCH = 128
+GRID = (8, 16)  # 128 tiles -> 1152 x 2304 canvas
 WARMUP = 2
 ITERS = 10
 EST_REFERENCE_TILES_PER_SEC = 25.0
+MEASURED_TORCH_CPU_1CORE = 0.13
 
 
 def _watchdog(seconds: int = 480) -> None:
@@ -36,7 +44,8 @@ def _watchdog(seconds: int = 480) -> None:
 
     def on_alarm(_sig, _frame):
         print(json.dumps({
-            "metric": "448^2 tiles/sec/chip (6-head fused forward+activations, bf16, batch 128)",
+            "metric": "448^2 tiles/sec/chip (6-head forward+postproc, bf16, "
+                      "batch 128)",
             "value": 0.0,
             "unit": "tiles/s",
             "vs_baseline": 0.0,
@@ -60,45 +69,80 @@ def main() -> None:
     with jax.default_device(jax.devices("cpu")[0]):
         params = init_net_params(jax.random.PRNGKey(0), cfg)
     params = jax.device_put(params)
-    # sequential decoders: ~1/5 the peak HBM of the grouped bank for the
-    # same math (see make_infer_step docstring)
+
+    from cerberus_tpu.data.patching import make_channel_index_map
+    from cerberus_tpu.ops.tpu_postproc import (
+        _cc_impl,
+        _inner_contour_instances,
+        _nuclei_watershed,
+    )
+
+    idx_dict, n_ch = make_channel_index_map(cfg.active_decoder_kwargs)
+    cc = _cc_impl()
 
     @jax.jit
-    def step(p, imgs):
+    def forward(p, imgs):
         return fused_infer_outputs(p, imgs, cfg, output_shape=144,
                                    compute_dtype=jnp.bfloat16,
                                    out_dtype=jnp.float16)
 
+    @jax.jit
+    def forward_postproc(p, imgs):
+        out = forward(p, imgs)  # (128, 144, 144, C)
+        gh, gw = GRID
+        canvas = (out.reshape(gh, gw, 144, 144, n_ch)
+                  .transpose(0, 2, 1, 3, 4)
+                  .reshape(gh * 144, gw * 144, n_ch).astype(jnp.float32))
+        s, e = idx_dict["Gland-INST"]
+        gland = _inner_contour_instances(canvas[..., s], canvas[..., s + 1],
+                                         0.55, 1000, 11, cc)
+        s, e = idx_dict["Lumen-INST"]
+        lumen = _inner_contour_instances(canvas[..., s], canvas[..., s + 1],
+                                         0.5, 150, 3, cc)
+        s, e = idx_dict["Nuclei-INST"]
+        nuclei = _nuclei_watershed(canvas[..., s], canvas[..., s + 1], cc)
+        # lumen gated by the gland mask (reference infer/tile.py:187-191)
+        lumen = jnp.where(gland > 0, lumen, 0)
+        return gland, lumen, nuclei
+
     rng = np.random.default_rng(0)
-    imgs = jax.device_put(
-        rng.integers(0, 255, (BATCH, 448, 448, 3)).astype(np.uint8))
+    # blobby inputs so CC/watershed do representative (not empty-image) work
+    base = rng.random((BATCH, 56, 56, 3)).astype(np.float32)
+    imgs = jax.device_put(np.clip(np.kron(
+        base, np.ones((1, 8, 8, 1))) * 255, 0, 255).astype(np.uint8))
 
-    for _ in range(WARMUP):
-        np.asarray(step(params, imgs))  # host materialization, not
-        # just block_until_ready: the tunneled device backend acks readiness
-        # before compute completes, so only a D2H copy is a true barrier
+    def timed(fn, iters):
+        """best-of-3: the shared tunneled chip shows large contention
+        swings; only a D2H copy is a true barrier on this backend."""
+        for _ in range(WARMUP):
+            jax.tree.map(np.asarray, fn(params, imgs))
+        best = float("inf")
+        for _trial in range(3):
+            t0 = time.perf_counter()
+            prev = None
+            for _ in range(iters):
+                cur = fn(params, imgs)
+                if prev is not None:
+                    _ = np.asarray(jax.tree.leaves(prev)[0])[0, 0]
+                prev = cur
+            jax.tree.map(np.asarray, prev)
+            best = min(best, time.perf_counter() - t0)
+        return BATCH * iters / best
 
-    # best-of-3 timing loops: the shared/tunneled chip shows large external
-    # contention swings; the minimum approximates uncontended throughput.
-    # At most 2 steps in flight (deep async queues can exhaust HBM).
-    best_dt = float("inf")
-    for _trial in range(3):
-        t0 = time.perf_counter()
-        prev = None
-        for _ in range(ITERS):
-            cur = step(params, imgs)
-            if prev is not None:
-                _ = np.asarray(prev[0, 0, 0])
-            prev = cur
-        _ = np.asarray(prev)
-        best_dt = min(best_dt, time.perf_counter() - t0)
+    fwd_tps = timed(forward, ITERS)
+    e2e_tps = timed(forward_postproc, max(3, ITERS // 2))
 
-    tiles_per_sec = BATCH * ITERS / best_dt
     print(json.dumps({
-        "metric": "448^2 tiles/sec/chip (6-head fused forward+activations, bf16, batch 128)",
-        "value": round(tiles_per_sec, 2),
+        "metric": "448^2 tiles/sec/chip (6-head forward+postproc to instance "
+                  "label maps, bf16, batch 128)",
+        "value": round(e2e_tps, 2),
         "unit": "tiles/s",
-        "vs_baseline": round(tiles_per_sec / EST_REFERENCE_TILES_PER_SEC, 2),
+        "vs_baseline": round(e2e_tps / EST_REFERENCE_TILES_PER_SEC, 2),
+        "forward_only_tiles_per_sec": round(fwd_tps, 2),
+        "baseline": {
+            "estimate_reference_gpu": EST_REFERENCE_TILES_PER_SEC,
+            "measured_reference_torch_cpu_1core": MEASURED_TORCH_CPU_1CORE,
+        },
     }))
 
 

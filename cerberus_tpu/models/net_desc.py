@@ -219,6 +219,33 @@ def _patch_class_head(params, bottom_feats, bn_sink, dropout_rng):
     return conv2d(params[f"{base}.conv2"], x, padding=0)
 
 
+def subtype_frozen_prefixes(cfg: ModelConfig):
+    """Subtype fine-tune freezing (reference ``_freeze_weight``,
+    net_desc.py:105-142): backbone, conv_map, Patch-Class and every decoder
+    + output head EXCEPT the active TYPE decoder(s) are frozen — their
+    params get no gradient (and no optimizer update) and their BN layers run
+    in eval mode (stored running stats, no stat updates).
+
+    Returns a predicate ``frozen(param_or_module_name) -> bool``, or None
+    when no subtype flag is set (normal training: nothing frozen)."""
+    if not (cfg.subtype_gland or cfg.subtype_nuclei):
+        return None
+    trainable = []
+    if cfg.subtype_gland:
+        trainable.append("Gland#TYPE")
+    if cfg.subtype_nuclei:
+        trainable.append("Nuclei#TYPE")
+
+    def frozen(name: str) -> bool:
+        for t in trainable:
+            if name.startswith(f"decoder_head.{t}.") or name.startswith(
+                    f"output_head.{t}."):
+                return False
+        return True
+
+    return frozen
+
+
 def net_forward(
     params,
     imgs,
@@ -252,14 +279,19 @@ def net_forward(
 
     x = imgs.astype(compute_dtype) / jnp.asarray(255.0, compute_dtype)
 
+    # Subtype fine-tuning: frozen modules use stored BN running stats and
+    # record nothing (reference _freeze_weight puts their BN in eval mode).
+    frozen_pred = subtype_frozen_prefixes(cfg)
+    trunk_train = training and frozen_pred is None
+
     def run_backbone(p, x):
         sink: Dict = {}
         feats = backbone_fwd(p, x, "backbone",
-                             sink if training else None)
+                             sink if trunk_train else None)
         return feats, sink
 
     feat_list, stage_stats = _maybe_remat(run_backbone)(params, x)
-    if training:
+    if trunk_train:
         bn_sink.update(stage_stats)
     bottom_feats = feat_list[-1]
     if not dsf:
@@ -280,13 +312,18 @@ def net_forward(
     for decoder_name, heads in cfg.decoder_info:
         if decoder_name not in cfg.considered_tasks:
             continue
+        # per-branch BN mode: eval (stored stats, no recording) when the
+        # branch is subtype-frozen
+        dec_train = training and (frozen_pred is None or
+                                  not frozen_pred(f"decoder_head.{decoder_name}."))
+        dec_sink = bn_sink if dec_train else None
         if decoder_name == "Patch-Class":
             if dsf:
                 raise NotImplementedError(
                     "Patch-Class head assumes 512-ch bottom features "
                     "(net_desc.py:68) and is incompatible with dsf encoders "
                     "in the reference as well")
-            out = _patch_class_head(params, bottom_feats, bn_sink,
+            out = _patch_class_head(params, bottom_feats, dec_sink,
                                     dropout_rng if training else None)
             if training and not branch_trainable(decoder_name):
                 out = jax.lax.stop_gradient(out)
@@ -297,25 +334,25 @@ def net_forward(
 
             nr = _nr_orients(cfg)
 
-            def run_gtower(p, feats, _name=decoder_name):
+            def run_gtower(p, feats, _name=decoder_name, _train=dec_train):
                 sink: Dict = {}
                 out = _gconv_decoder_tower(p, _name, feats, nr,
-                                           sink if training else None)
+                                           sink if _train else None)
                 return out, sink
 
             prev, tower_stats = _maybe_remat(run_gtower)(params, feat_list)
-            if training:
+            if dec_train:
                 bn_sink.update(tower_stats)
             prev = group_pool(prev, nr, "max")
         else:
-            def run_tower(p, feats, _name=decoder_name):
+            def run_tower(p, feats, _name=decoder_name, _train=dec_train):
                 sink: Dict = {}
                 out = _decoder_tower(p, _name, feats,
-                                     sink if training else None)
+                                     sink if _train else None)
                 return out, sink
 
             prev, tower_stats = _maybe_remat(run_tower)(params, feat_list)
-            if training:
+            if dec_train:
                 bn_sink.update(tower_stats)
         for head_name, _out_ch in heads:
             if dsf:
@@ -323,12 +360,12 @@ def net_forward(
                 out = prev
                 for li in range(2):
                     out = relu(apply_bn(params, f"{base}.block.{li}.bn", out,
-                                        bn_sink))
+                                        dec_sink))
                     out = conv2d(params[f"{base}.block.{li}.conv"], out,
                                  padding=0)
             else:
                 base = f"output_head.{decoder_name}.{head_name}.x"
-                out = _conv_block(params, f"{base}.0", prev, 1, bn_sink)
+                out = _conv_block(params, f"{base}.0", prev, 1, dec_sink)
                 out = conv2d(params[f"{base}.1.conv"], out, padding=0)
             if training and not branch_trainable(decoder_name):
                 out = jax.lax.stop_gradient(out)

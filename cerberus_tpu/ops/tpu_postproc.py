@@ -25,9 +25,18 @@ import numpy as np
 from . import lax_postproc as L
 
 
+# the pallas CC kernel keeps ~3 s32 planes resident in VMEM (16 MB scoped
+# budget on v5e); beyond this pixel count it OOMs at compile time, so big
+# canvases (stitched batches, 4096^2 WSI postproc tiles) take the lax path
+_PALLAS_CC_MAX_PIXELS = 1_000_000
+
+
 def _cc(fg, impl: str):
     """Static dispatch: 'lax' while_loop CC, 'pallas' VMEM-resident kernel
-    (4.1x faster on v5e at 448^2), 'pallas_interp' for CPU testing."""
+    (4.1x faster on v5e at 448^2, VMEM-bounded), 'pallas_interp' for CPU
+    testing."""
+    if impl == "pallas" and fg.shape[-1] * fg.shape[-2] > _PALLAS_CC_MAX_PIXELS:
+        impl = "lax"
     if impl == "pallas":
         from .pallas_cc import cc_pallas
 

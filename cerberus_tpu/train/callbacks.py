@@ -101,6 +101,9 @@ class PeriodicSaver(BaseCallbacks):
             return
         if not _period_gate(self, global_state):
             return
+        # step filenames use the engine counter (reference naming cadence);
+        # build_trainer seeds curr_global_step from the restored step on
+        # --resume so post-resume checkpoints never overwrite earlier ones
         tracker = ("epoch-%06d" % global_state.curr_epoch
                    if self.per_n_epoch is not None
                    else "step-%06d" % global_state.curr_global_step)
@@ -142,7 +145,12 @@ class ConditionalSaver(BaseCallbacks):
         epoch_key = str(state.get_top_parent_state().curr_epoch)
         if epoch_key not in stats or self.metric_name not in stats[epoch_key]:
             return
-        for _epoch, epoch_stat in stats.items():
+        # best over PRIOR epochs only — including the current epoch would
+        # make strict comparators ('>'/'<') unsatisfiable (current > best
+        # where best already includes current is impossible)
+        for epoch, epoch_stat in stats.items():
+            if str(epoch) == epoch_key:
+                continue
             if self.metric_name in epoch_stat and \
                     op_func(epoch_stat[self.metric_name], best):
                 best = epoch_stat[self.metric_name]

@@ -97,17 +97,32 @@ def build_trainer(config: Dict, train_loaders: Dict, valid_loaders: Dict,
                                          remat=remat)
         state = TrainState(params=params, opt_state=tx.init(params),
                            step=np.int32(0))
-        resume_from = net_cfg.get("resume_from")
-        if resume_from:
-            # full resume: params + optimizer moments + step (and thereby
-            # the LR schedule position)
-            from ..models.convert import load_train_state
+    resume_from = net_cfg.get("resume_from")
+    if resume_from:
+        # full resume: params + optimizer moments + step (and thereby the
+        # LR schedule position) — handled AFTER the mesh/non-mesh split so
+        # data-parallel training resumes too (restored state is re-placed
+        # with the replicated sharding)
+        from ..models.convert import load_train_state
 
-            r_params, r_opt, r_step = load_train_state(resume_from,
-                                                       state.opt_state)
+        r_params, r_opt, r_step = load_train_state(resume_from,
+                                                   state.opt_state)
+        r_params = {k: {kk: np.asarray(vv) for kk, vv in v.items()}
+                    for k, v in r_params.items()}
+        if mesh is not None:
+            state = init_state(r_params)
+            if r_opt is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                r_opt = jax.device_put(r_opt, NamedSharding(mesh, P()))
+                state = TrainState(params=state.params, opt_state=r_opt,
+                                   step=state.step)
+            state = TrainState(params=state.params,
+                               opt_state=state.opt_state,
+                               step=np.int32(r_step))
+        else:
             state = TrainState(
-                params={k: {kk: np.asarray(vv) for kk, vv in v.items()}
-                        for k, v in r_params.items()},
+                params=r_params,
                 opt_state=r_opt if r_opt is not None else state.opt_state,
                 step=np.int32(r_step))
     net = NetHolder(state, train_step=train_step, schedule=schedule,
@@ -153,6 +168,10 @@ def build_trainer(config: Dict, train_loaders: Dict, valid_loaders: Dict,
     run_info = {"net": net}
     train_engine = RunEngine("train", train_loaders, train_run_step, run_info)
     infer_engine = RunEngine("infer", valid_loaders, valid_run_step, run_info)
+    if resume_from:
+        # keep engine step counters (logging cadence, TB step axis) aligned
+        # with the restored optimizer step instead of restarting at 0
+        train_engine.state.curr_global_step = int(state.step)
 
     proc = ProcStepRawOutput(n_ch, heads)
     infer_engine.add_event_handler(Events.STEP_COMPLETED, proc)

@@ -60,7 +60,10 @@ def make_lr_schedule(base_lr: float = 1.0e-3, decay_steps: int = 75000,
 
 
 def make_optimizer(optimizer_kwargs: Optional[Mapping[str, Any]] = None,
-                   schedule=None):
+                   schedule=None, frozen_pred=None):
+    """``frozen_pred(param_name) -> bool`` additionally routes whole frozen
+    modules (subtype fine-tuning, reference _freeze_weight) to set_to_zero
+    so not even weight decay touches them."""
     kwargs = dict(optimizer_kwargs or {})
     lr = float(kwargs.get("lr", 1.0e-3))
     betas = kwargs.get("betas", (0.9, 0.999))
@@ -73,14 +76,17 @@ def make_optimizer(optimizer_kwargs: Optional[Mapping[str, Any]] = None,
     # them to set_to_zero so the optimizer never touches them (they update
     # via the bn_sink fold in the step itself)
     tx = optax.multi_transform(
-        {"train": opt, "freeze": optax.set_to_zero()}, _trainable_labels
+        {"train": opt, "freeze": optax.set_to_zero()},
+        partial(_trainable_labels, frozen_pred=frozen_pred),
     )
     return tx, schedule
 
 
-def _trainable_labels(params):
+def _trainable_labels(params, frozen_pred=None):
     return {
-        name: {k: ("freeze" if k in ("mean", "var") else "train")
+        name: {k: ("freeze" if (k in ("mean", "var") or
+                                (frozen_pred is not None and
+                                 frozen_pred(name))) else "train")
                for k in leaf}
         for name, leaf in params.items()
     }
@@ -105,8 +111,12 @@ jax.tree_util.register_pytree_node(
 )
 
 
-def create_train_state(params, optimizer_kwargs=None, schedule=None):
-    tx, _ = make_optimizer(optimizer_kwargs, schedule)
+def create_train_state(params, optimizer_kwargs=None, schedule=None,
+                       cfg: Optional[ModelConfig] = None):
+    from ..models.net_desc import subtype_frozen_prefixes
+
+    frozen = subtype_frozen_prefixes(cfg) if cfg is not None else None
+    tx, _ = make_optimizer(optimizer_kwargs, schedule, frozen_pred=frozen)
     return TrainState(params=params, opt_state=tx.init(params),
                       step=jnp.zeros((), jnp.int32)), tx
 
@@ -134,6 +144,21 @@ def multitask_loss(params, batch, cfg: ModelConfig, loss_tables,
     n_ch = head_output_channels(cfg)
     imgs = batch["img"]
     has_target = batch["has_target"].astype(jnp.float32)  # (N, n_heads)
+
+    # Subtype fine-tuning: stop gradients at the PARAMETERS of frozen
+    # modules (reference _freeze_weight sets requires_grad=False on
+    # backbone/conv_map/non-active decoders) — output-level stop_gradient
+    # alone would let gradients flow into the shared trunk through the
+    # trainable TYPE decoder.
+    from ..models.net_desc import subtype_frozen_prefixes
+
+    frozen_pred = subtype_frozen_prefixes(cfg)
+    if frozen_pred is not None:
+        params = {
+            name: (jax.tree.map(jax.lax.stop_gradient, leaf)
+                   if frozen_pred(name) else leaf)
+            for name, leaf in params.items()
+        }
 
     # All branches marked trainable: heads without GT in the batch get zero
     # masked loss and hence exactly the zero gradients the reference achieves
@@ -220,8 +245,11 @@ def make_train_step(cfg: ModelConfig, loss_kwargs=None, optimizer_kwargs=None,
     ``return_grads`` additionally returns the gradient tree (for the
     LoggingGradient histogram callback).
     """
+    from ..models.net_desc import subtype_frozen_prefixes
+
     loss_tables = _loss_table_static(loss_kwargs, cfg)
-    tx, _ = make_optimizer(optimizer_kwargs)
+    tx, _ = make_optimizer(optimizer_kwargs,
+                           frozen_pred=subtype_frozen_prefixes(cfg))
 
     def step_fn(state: TrainState, batch, rng):
         def loss_fn(params):

@@ -120,3 +120,81 @@ def test_trainer_on_mesh(tmp_path):
     train_engine.loader_dict = {"train": Loader8(1)}
     train_engine.run(nr_epoch=1)
     assert int(net.state.step) == 1
+
+
+def test_resume_on_mesh_and_step_seeding(tmp_path):
+    """--resume under a mesh restores params/step (ADVICE r1: it was
+    silently ignored), and the engine step counter is seeded from the
+    restored step so checkpoint names / log steps continue monotonically."""
+    import conftest
+
+    from cerberus_tpu.models.convert import save_train_state
+    from cerberus_tpu.models.net_desc import init_net_params
+    from cerberus_tpu.parallel.mesh import make_mesh
+
+    ckpt = str(tmp_path / "resume.tar")
+    params = init_net_params(jax.random.PRNGKey(3), CFG)
+    marker = np.asarray(params["conv_map"]["kernel"]).copy() + 0.5
+    params["conv_map"] = {"kernel": marker}
+    save_train_state(ckpt, params, None, step=2000)
+
+    config = get_config(MODEL_KWARGS, LOSS_KWARGS, nr_epochs=1, per_n_steps=5)
+    config["phase_list"][0]["run_info"]["net"]["resume_from"] = ckpt
+    mesh = make_mesh(conftest.cpu_mesh_devices())
+    train_engine, _infer, net = build_trainer(
+        config, {"train": FakeLoader(1)}, {"valid": FakeLoader(1)},
+        mesh=mesh)
+    assert int(net.state.step) == 2000
+    assert train_engine.state.curr_global_step == 2000
+    np.testing.assert_allclose(
+        np.asarray(net.state.params["conv_map"]["kernel"]), marker)
+    # non-mesh path seeds the counter too
+    train_engine2, _i2, net2 = build_trainer(
+        config, {"train": FakeLoader(1)}, {"valid": FakeLoader(1)})
+    assert int(net2.state.step) == 2000
+    assert train_engine2.state.curr_global_step == 2000
+
+
+def test_conditional_saver_strict_comparator(tmp_path):
+    """Strict '>' must fire when the current epoch beats all PRIOR epochs
+    (ADVICE r1: the scan included the current epoch, making '>' impossible)."""
+    import yaml
+
+    from cerberus_tpu.train.callbacks import ConditionalSaver
+    from cerberus_tpu.train.engine import State
+
+    log_dir = str(tmp_path)
+    stats = {"1": {"valid-acc": 0.5}, "2": {"valid-acc": 0.7}}
+    with open(f"{log_dir}/stats.yml", "w") as f:
+        yaml.safe_dump(stats, f)
+
+    class _Net:
+        class state:
+            params = init_params_tiny()
+            step = 2
+
+    state = State()
+    state.logging = True
+    state.log_dir = log_dir
+    state.log_info = {"yaml_file": f"{log_dir}/stats.yml"}
+    state.curr_epoch = 2
+    state.run_info = {"net": _Net()}
+
+    saver = ConditionalSaver("valid-acc", comparator=">")
+    saver.run(state, None)
+    assert os.path.exists(f"{log_dir}/net_best=[valid-acc].tar")
+
+    # not an improvement -> no overwrite
+    os.remove(f"{log_dir}/net_best=[valid-acc].tar")
+    stats["3"] = {"valid-acc": 0.7}
+    with open(f"{log_dir}/stats.yml", "w") as f:
+        yaml.safe_dump(stats, f)
+    state.curr_epoch = 3
+    saver.run(state, None)
+    assert not os.path.exists(f"{log_dir}/net_best=[valid-acc].tar")
+
+
+def init_params_tiny():
+    from cerberus_tpu.models.net_desc import init_net_params
+
+    return init_net_params(jax.random.PRNGKey(0), CFG)
