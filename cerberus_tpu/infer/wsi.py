@@ -84,6 +84,22 @@ def _info_to_wsi_format(inst_info_dict, offset_xy):
     return out
 
 
+def _pad_to_512(arr: np.ndarray) -> np.ndarray:
+    """Zero-pad H/W up to multiples of 512 (shape bucketing for jitted
+    postproc kernels; zeros are background for every postproc family).
+
+    Sole semantic nuance: cv2-compatible binary erosion treats the ARRAY
+    border as foreground, so at the slide's true bottom/right edge the
+    nuclei mask can lose a <=1 px band vs the unpadded call (interior tile
+    edges are margin-deduped anyway). Documented divergence — PARITY.md."""
+    h, w = arr.shape[:2]
+    ph, pw = -(-h // 512) * 512, -(-w // 512) * 512
+    if (ph, pw) == (h, w):
+        return arr
+    pad = [(0, ph - h), (0, pw - w)] + [(0, 0)] * (arr.ndim - 2)
+    return np.pad(arr, pad)
+
+
 def _process_tile_predictions(raw_path, canvas_shape, inst_slice, type_slice,
                               tile_bounds, tile_flag, tile_mode,
                               ref_boxes, ref_uids, margin, postproc_code,
@@ -114,7 +130,17 @@ def _process_tile_predictions(raw_path, canvas_shape, inst_slice, type_slice,
         proc_cls = TPU_POSTPROC_FUNC_DICT[postproc_code]
     else:
         proc_cls = POSTPROC_FUNC_DICT[postproc_code]
+    h, w = raw_map.shape[:2]
+    if backend == "tpu":
+        # pad to 512-multiples: boundary-repair strips come in many shapes
+        # and each unique shape costs a fresh XLA compile (~25 s) vs a few
+        # seconds of run; zero padding is background, so instance maps on
+        # the original window are identical
+        raw_map = _pad_to_512(raw_map)
     inst_map, type_map = proc_cls.post_process(raw_map, idx_dict, "Nuclei")
+    inst_map = inst_map[:h, :w]
+    if type_map is not None:
+        type_map = type_map[:h, :w]
     inst_dict = get_inst_info_dict(inst_map, type_map)
     if len(inst_dict) == 0:
         return {}, []
@@ -175,6 +201,73 @@ class InferManager(BaseInferManager):
                     for bi, patch in enumerate(pool.map(read_one, chunk)):
                         batch[bi] = patch
                 yield batch, len(chunk)
+
+    # ------------------------------------------------------------------
+    def _run_tile_pipelined(self, reader, tile_in, tile_out, resolution,
+                            canvas):
+        """The WSI hot loop, fully overlapped (SURVEY.md §7: the host->HBM
+        double-buffered feeder; replaces the reference's blocking
+        read->compute->copy sequence, infer/wsi.py:347-379):
+
+          * a reader thread prefetches batch N+1 while N computes (bounded
+            queue, depth 2);
+          * up to 2 device batches stay in flight (JAX async dispatch) — the
+            main thread never blocks on D2H;
+          * a writer thread materializes outputs (the D2H copy) and lands
+            the strided canvas writes, overlapping the next compute.
+        """
+        import queue
+        import threading
+        from collections import deque
+
+        read_q: "queue.Queue" = queue.Queue(maxsize=2)
+        _END = object()
+
+        def read_worker():
+            try:
+                for item in self._read_patch_batches(reader, tile_in,
+                                                     resolution):
+                    read_q.put(item)
+                read_q.put(_END)
+            except BaseException as exc:  # surfaced in the main loop
+                read_q.put(exc)
+
+        reader_thread = threading.Thread(target=read_worker, daemon=True)
+        reader_thread.start()
+
+        writer = ThreadPoolExecutor(max_workers=1)
+        write_futs = []
+        inflight = deque()
+        cursor = 0
+
+        def commit(dev, coords, valid):
+            def land():
+                canvas.write_patches(np.asarray(dev)[:valid], coords)
+
+            write_futs.append(writer.submit(land))
+
+        try:
+            while True:
+                item = read_q.get()
+                if item is _END:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                batch, valid = item
+                dev = self.run_step(batch, self.patch_output_shape)
+                inflight.append((dev, tile_out[cursor:cursor + valid], valid))
+                cursor += valid
+                if len(inflight) >= 2:
+                    commit(*inflight.popleft())
+                while write_futs and write_futs[0].done():
+                    write_futs.pop(0).result()  # propagate write errors early
+            while inflight:
+                commit(*inflight.popleft())
+            for fut in write_futs:
+                fut.result()
+        finally:
+            writer.shutdown(wait=True)
+            reader_thread.join(timeout=60)
 
     # ------------------------------------------------------------------
     def process_single_file(self, ioconfig, ioconfig_pp, wsi_path, mask_path,
@@ -269,16 +362,9 @@ class InferManager(BaseInferManager):
                 continue
             tile_sel = assign_patches_to_tiles(patch_outputs, tile_bounds)
             if len(tile_sel) > 0:
-                tile_in = patch_inputs[tile_sel]
-                tile_out = patch_outputs[tile_sel]
-                cursor = 0
-                for batch, valid in self._read_patch_batches(reader, tile_in,
-                                                             resolution):
-                    out = np.asarray(
-                        self.run_step(batch, self.patch_output_shape))[:valid]
-                    canvas.write_patches(out,
-                                         tile_out[cursor : cursor + valid])
-                    cursor += valid
+                self._run_tile_pipelined(reader, patch_inputs[tile_sel],
+                                         patch_outputs[tile_sel], resolution,
+                                         canvas)
                 canvas.flush()
             done_tiles.add(tile_idx)
             save_progress()
@@ -396,11 +482,18 @@ class InferManager(BaseInferManager):
 
                     proc_cls = TPU_POSTPROC_FUNC_DICT[
                         self.decoder_dict[f"{tissue_code}-INST"]]
+                    # shape-bucket tissue regions like the nuclei tiles
+                    rh, rw = region.shape[:2]
+                    inst_map, type_map = proc_cls.post_process(
+                        _pad_to_512(region), new_idx, tissue_code, ds)
+                    inst_map = inst_map[:rh, :rw]
+                    if type_map is not None:
+                        type_map = type_map[:rh, :rw]
                 else:
                     proc_cls = POSTPROC_FUNC_DICT[
                         self.decoder_dict[f"{tissue_code}-INST"]]
-                inst_map, type_map = proc_cls.post_process(
-                    region, new_idx, tissue_code, ds)
+                    inst_map, type_map = proc_cls.post_process(
+                        region, new_idx, tissue_code, ds)
                 pred_inst_map[tissue_code] = inst_map
                 pred_type_map[tissue_code] = type_map
 

@@ -1,31 +1,48 @@
-"""Whole-slide readers.
+"""Whole-slide readers with real pyramid-level selection.
 
 Behavioral equivalent of the reader surface the reference uses
 (``WSIReader.open`` / ``VirtualWSIReader`` from tiatoolbox at
 ``infer/wsi.py:522-545,559-566``, plus the legacy in-repo handlers in
 ``misc/wsi_handler.py``): mpp-aware ``slide_dimensions``, bounds reads at a
-requested resolution, thumbnails. Neither OpenSlide nor tifffile is present
-in this environment, so the concrete backends are:
+requested resolution, thumbnails. Backends:
 
-  * ``NpyPyramidReader`` — a directory with ``level_<N>.npy`` arrays (or a
-    single array) + ``meta.yml`` (mpp, objective power). This is both the
-    synthetic-test backend and the practical interchange format here.
+  * ``NpyPyramidReader`` — a directory with ``level_<N>.npy`` arrays +
+    ``meta.yml`` (mpp, objective power), or a single bare ``.npy``. Every
+    level is mmap'd; reads touch only the requested window.
   * ``ImageReader`` — plain png/jpg behind the same API (small slides).
-  * ``OpenSlideReader`` — used automatically when the openslide package
-    exists (gated import; absent in this image).
+  * ``OpenSlideReader`` — gated import (openslide absent in this image).
+  * ``JP2Reader`` — glymur-backed with 6 pseudo-levels and strided reads,
+    following the reference ``JP2Handler`` design
+    (misc/wsi_handler.py:190-300); gated import (glymur absent here).
 
-All reads are XY bounds at processing resolution; out-of-bounds regions are
-zero-padded, matching pyramidal reader behavior.
+Resolution handling (the reference's ``prepare_reading`` caches a whole
+resampled plane to ``.npy`` when the requested mag isn't native,
+misc/wsi_handler.py:55-95; tiatoolbox reads from the best pyramid level):
+``read_bounds`` picks the coarsest level whose downsample <= the requested
+scale, reads only that window, and resizes — no full-plane materialization.
+When even the best level would decode a huge region (thumbnails of
+level-0-only slides), backends that can read strided windows (npy memmap,
+JP2) decimate at read time, so ``slide_thumbnail`` of a 100k^2 plane
+allocates O(thumbnail).
+
+All reads are XY bounds at the requested resolution; out-of-bounds regions
+are zero-padded, matching pyramidal reader behavior.
 """
 from __future__ import annotations
 
 import dataclasses
+import glob
 import os
-from typing import Optional, Tuple
+import re
+from typing import List, Optional, Tuple
 
 import cv2
 import numpy as np
 import yaml
+
+# beyond this many level pixels a single read switches to the strided
+# (read-time decimation) path when the backend supports it
+_MAX_READ_PIXELS = 1 << 26
 
 
 @dataclasses.dataclass
@@ -36,10 +53,13 @@ class SlideInfo:
 
 
 class WSIReader:
-    """Abstract reader. Subclasses implement `_read_level0` and `info`."""
+    """Abstract reader. Subclasses implement ``_read_level`` (+ optionally
+    ``_read_level_strided``) and set ``info`` / ``_level_downsamples``."""
 
     info: SlideInfo
+    _level_downsamples: List[float] = [1.0]
 
+    # -- geometry --------------------------------------------------------
     def slide_dimensions(self, resolution: float, units: str = "mpp"):
         """(w, h) of the slide plane at the requested resolution."""
         scale = self._scale_for(resolution, units)
@@ -57,6 +77,21 @@ class WSIReader:
             return 1.0 / float(resolution)
         raise ValueError(f"unknown units {units}")
 
+    def _best_level(self, scale: float) -> Tuple[int, float]:
+        """Coarsest level with downsample <= scale (read the fewest pixels
+        that still oversample the request) — tiatoolbox's level selection."""
+        best_idx, best_ds = 0, self._level_downsamples[0]
+        for idx, ds in enumerate(self._level_downsamples):
+            if ds <= scale * 1.001 and ds > best_ds:
+                best_idx, best_ds = idx, ds
+        return best_idx, best_ds
+
+    def _level_dims(self, lvl: int) -> Tuple[int, int]:
+        w, h = self.info.slide_dimensions
+        ds = self._level_downsamples[lvl]
+        return int(round(w / ds)), int(round(h / ds))
+
+    # -- reads -----------------------------------------------------------
     def read_bounds(self, bounds, resolution: float, units: str = "mpp"
                     ) -> np.ndarray:
         """Read XY bounds given at the *requested* resolution; returns
@@ -64,10 +99,16 @@ class WSIReader:
         scale = self._scale_for(resolution, units)
         x0, y0, x1, y1 = [int(v) for v in bounds]
         out_w, out_h = x1 - x0, y1 - y0
-        # corresponding level-0 bounds
-        lx0, ly0 = int(np.floor(x0 * scale)), int(np.floor(y0 * scale))
-        lx1, ly1 = int(np.ceil(x1 * scale)), int(np.ceil(y1 * scale))
-        region = self._read_level0_padded(lx0, ly0, lx1, ly1)
+        lvl, ds = self._best_level(scale)
+        s = scale / ds  # level px per requested px
+        lx0, ly0 = int(np.floor(x0 * s)), int(np.floor(y0 * s))
+        lx1, ly1 = int(np.ceil(x1 * s)), int(np.ceil(y1 * s))
+
+        stride = 1
+        if (lx1 - lx0) * (ly1 - ly0) > _MAX_READ_PIXELS and s >= 2 \
+                and hasattr(self, "_read_level_strided"):
+            stride = int(s)
+        region = self._read_level_padded(lvl, lx0, ly0, lx1, ly1, stride)
         if region.shape[:2] != (out_h, out_w):
             region = cv2.resize(region, (out_w, out_h),
                                 interpolation=cv2.INTER_LINEAR)
@@ -78,29 +119,46 @@ class WSIReader:
         w, h = self.slide_dimensions(resolution, units)
         return self.read_bounds([0, 0, int(w), int(h)], resolution, units)
 
-    # -- backend hooks -------------------------------------------------
-    def _read_level0_padded(self, x0, y0, x1, y1) -> np.ndarray:
-        w, h = self.info.slide_dimensions
-        out = np.zeros((y1 - y0, x1 - x0, 3), np.uint8)
+    # -- backend hooks -----------------------------------------------------
+    def _read_level_padded(self, lvl, x0, y0, x1, y1, stride: int = 1
+                           ) -> np.ndarray:
+        w, h = self._level_dims(lvl)
         sx0, sy0 = max(x0, 0), max(y0, 0)
         sx1, sy1 = min(x1, w), min(y1, h)
+        if stride > 1:
+            out = np.zeros((-(-(y1 - y0) // stride), -(-(x1 - x0) // stride),
+                            3), np.uint8)
+            if sx1 > sx0 and sy1 > sy0:
+                sub = self._read_level_strided(lvl, sx0, sy0, sx1, sy1, stride)
+                oy, ox = (sy0 - y0) // stride, (sx0 - x0) // stride
+                out[oy:oy + sub.shape[0], ox:ox + sub.shape[1]] = sub
+            return out
+        out = np.zeros((y1 - y0, x1 - x0, 3), np.uint8)
         if sx1 > sx0 and sy1 > sy0:
-            out[sy0 - y0 : sy1 - y0, sx0 - x0 : sx1 - x0] = \
-                self._read_level0(sx0, sy0, sx1, sy1)
+            out[sy0 - y0: sy1 - y0, sx0 - x0: sx1 - x0] = \
+                self._read_level(lvl, sx0, sy0, sx1, sy1)
         return out
 
-    def _read_level0(self, x0, y0, x1, y1) -> np.ndarray:
+    def _read_level(self, lvl, x0, y0, x1, y1) -> np.ndarray:
         raise NotImplementedError
 
 
+def _to_rgb_u8(region: np.ndarray) -> np.ndarray:
+    if region.ndim == 2:
+        region = np.repeat(region[..., None], 3, axis=-1)
+    return region.astype(np.uint8)
+
+
 class NpyPyramidReader(WSIReader):
-    """Pyramid from ``level_0.npy`` (+ optional coarser levels) and
-    ``meta.yml`` with {mpp, objective_power} in a directory; or a bare
-    ``.npy`` file (mpp given by caller). Level 0 is mmap'd — reads touch only
-    the requested window."""
+    """Pyramid from ``level_<N>.npy`` arrays + ``meta.yml`` ({mpp,
+    objective_power}) in a directory; or a bare ``.npy`` file (mpp given by
+    the caller). ALL levels are mmap'd; per-level downsamples are inferred
+    from the shape ratios. Huge reads (thumbnails without coarse levels)
+    decimate straight off the memmap — O(output) memory."""
 
     def __init__(self, path: str, mpp: Optional[float] = None,
                  objective_power: Optional[float] = None):
+        self._levels = []
         if os.path.isdir(path):
             meta_path = os.path.join(path, "meta.yml")
             meta = {}
@@ -109,21 +167,31 @@ class NpyPyramidReader(WSIReader):
                     meta = yaml.safe_load(f) or {}
             mpp = meta.get("mpp", mpp)
             objective_power = meta.get("objective_power", objective_power)
-            self._level0 = np.load(os.path.join(path, "level_0.npy"),
-                                   mmap_mode="r")
+            level_paths = sorted(
+                glob.glob(os.path.join(path, "level_*.npy")),
+                key=lambda p: int(re.search(r"level_(\d+)", p).group(1)))
+            if not level_paths:
+                raise FileNotFoundError(f"{path}: no level_<N>.npy found")
+            self._levels = [np.load(p, mmap_mode="r") for p in level_paths]
         else:
-            self._level0 = np.load(path, mmap_mode="r")
+            self._levels = [np.load(path, mmap_mode="r")]
         if mpp is None:
             mpp = 0.5
-        h, w = self._level0.shape[:2]
+        h, w = self._levels[0].shape[:2]
         self.info = SlideInfo(mpp=float(mpp), slide_dimensions=(w, h),
                               objective_power=objective_power)
+        self._level_downsamples = [w / lv.shape[1] for lv in self._levels]
 
-    def _read_level0(self, x0, y0, x1, y1):
-        region = np.asarray(self._level0[y0:y1, x0:x1])
-        if region.ndim == 2:
-            region = np.repeat(region[..., None], 3, axis=-1)
-        return region.astype(np.uint8)
+    @property
+    def _level0(self):  # kept for callers that address the base plane
+        return self._levels[0]
+
+    def _read_level(self, lvl, x0, y0, x1, y1):
+        return _to_rgb_u8(np.asarray(self._levels[lvl][y0:y1, x0:x1]))
+
+    def _read_level_strided(self, lvl, x0, y0, x1, y1, stride):
+        return _to_rgb_u8(np.asarray(
+            self._levels[lvl][y0:y1:stride, x0:x1:stride]))
 
     def read_batch(self, bounds_list, resolution: float, units: str = "mpp"
                    ) -> np.ndarray:
@@ -135,12 +203,17 @@ class NpyPyramidReader(WSIReader):
         bounds = np.asarray(bounds_list)
         win_w = int(bounds[0, 2] - bounds[0, 0])
         win_h = int(bounds[0, 3] - bounds[0, 1])
-        if abs(scale - 1.0) < 1e-9 and self._level0.ndim == 3 \
-                and self._level0.shape[2] == 3:
+        # exact-level fast path: when the requested scale IS a pyramid level
+        # (e.g. 0.5 mpp processing of a 0.25 mpp slide with a level_1 plane),
+        # gather straight off that level's memmap
+        lvl, ds = self._best_level(scale)
+        level = self._levels[lvl]
+        if abs(scale / ds - 1.0) < 1e-9 and level.ndim == 3 \
+                and level.shape[2] == 3:
             from ..native import gather_patches
 
             coords_yx = bounds[:, [1, 0]]
-            return gather_patches(self._level0, coords_yx, win_h, win_w)
+            return gather_patches(level, coords_yx, win_h, win_w)
         return np.stack([self.read_bounds(b, resolution, units)
                          for b in bounds])
 
@@ -152,10 +225,11 @@ class ImageReader(NpyPyramidReader):
                  objective_power: Optional[float] = 40.0):
         img = cv2.imread(path)
         img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
-        self._level0 = img
+        self._levels = [img]
         h, w = img.shape[:2]
         self.info = SlideInfo(mpp=float(mpp), slide_dimensions=(w, h),
                               objective_power=objective_power)
+        self._level_downsamples = [1.0]
 
 
 class VirtualWSIReader(WSIReader):
@@ -166,17 +240,20 @@ class VirtualWSIReader(WSIReader):
         self._img = np.asarray(img)
         h, w = self._img.shape[:2]
         self.info = info or SlideInfo(mpp=0.5, slide_dimensions=(w, h))
+        self._level_downsamples = [1.0]
 
-    def _read_level0(self, x0, y0, x1, y1):
-        region = self._img[y0:y1, x0:x1]
-        if region.ndim == 2:
-            region = np.repeat(region[..., None], 3, axis=-1)
-        return region.astype(np.uint8)
+    def _read_level(self, lvl, x0, y0, x1, y1):
+        return _to_rgb_u8(self._img[y0:y1, x0:x1])
 
 
-class OpenSlideReader(WSIReader):  # pragma: no cover - openslide not in image
+class OpenSlideReader(WSIReader):
+    """OpenSlide-backed pyramid reader (gated: openslide is absent in this
+    image; covered by a stub-module test). Reads route through the
+    best native level (reference misc/wsi_handler.py:98-187 equivalent
+    without the full-plane resample cache)."""
+
     def __init__(self, path: str):
-        import openslide  # gated: not available in this environment
+        import openslide  # gated import
 
         self._slide = openslide.OpenSlide(path)
         props = self._slide.properties
@@ -185,10 +262,55 @@ class OpenSlideReader(WSIReader):  # pragma: no cover - openslide not in image
         w, h = self._slide.dimensions
         self.info = SlideInfo(mpp=mpp, slide_dimensions=(w, h),
                               objective_power=float(power) if power else None)
+        self._level_downsamples = [float(d)
+                                   for d in self._slide.level_downsamples]
 
-    def _read_level0(self, x0, y0, x1, y1):
-        region = self._slide.read_region((x0, y0), 0, (x1 - x0, y1 - y0))
-        return np.asarray(region.convert("RGB"))
+    def _read_level(self, lvl, x0, y0, x1, y1):
+        ds = self._level_downsamples[lvl]
+        # openslide addresses the location in LEVEL-0 coordinates
+        region = self._slide.read_region(
+            (int(round(x0 * ds)), int(round(y0 * ds))), lvl,
+            (x1 - x0, y1 - y0))
+        region = np.asarray(region.convert("RGB")
+                            if hasattr(region, "convert") else region)
+        return _to_rgb_u8(region)
+
+
+class JP2Reader(WSIReader):
+    """JPEG2000 reader via glymur with PSEUDO-levels: JP2 streams have no
+    stored pyramid, so levels are powers of two realized as strided reads of
+    the codestream — the reference ``JP2Handler`` design
+    (misc/wsi_handler.py:190-300: 6 levels, ``jp2[y0:y1:s, x0:x1:s]``).
+    Gated: glymur is absent in this image; covered by a stub-module test."""
+
+    N_PSEUDO_LEVELS = 6
+
+    def __init__(self, path: str, mpp: Optional[float] = None,
+                 objective_power: Optional[float] = 40.0):
+        import glymur  # gated import
+
+        self._jp2 = glymur.Jp2k(path)
+        h, w = self._jp2.shape[:2]
+        if mpp is None:
+            # the reference hardcodes 40x/0.275mpp-class CRC slides when
+            # metadata is absent (misc/wsi_handler.py:213-218)
+            mpp = 0.275
+        self.info = SlideInfo(mpp=float(mpp), slide_dimensions=(w, h),
+                              objective_power=objective_power)
+        self._level_downsamples = [float(2 ** k)
+                                   for k in range(self.N_PSEUDO_LEVELS)]
+
+    def _read_level(self, lvl, x0, y0, x1, y1):
+        s = int(self._level_downsamples[lvl])
+        region = self._jp2[y0 * s:y1 * s:s, x0 * s:x1 * s:s]
+        return _to_rgb_u8(np.asarray(region))
+
+    def _read_level_strided(self, lvl, x0, y0, x1, y1, stride):
+        # the extra stride folds into the pseudo-level step
+        ds = int(self._level_downsamples[lvl])
+        region = self._jp2[y0 * ds:y1 * ds:ds * stride,
+                           x0 * ds:x1 * ds:ds * stride]
+        return _to_rgb_u8(np.asarray(region))
 
 
 def open_wsi(path: str, mpp: Optional[float] = None) -> WSIReader:
@@ -199,6 +321,14 @@ def open_wsi(path: str, mpp: Optional[float] = None) -> WSIReader:
         return NpyPyramidReader(path, mpp=mpp)
     if ext in (".png", ".jpg", ".jpeg", ".tif", ".bmp"):
         return ImageReader(path, mpp=mpp or 0.5)
+    if ext == ".jp2":
+        try:
+            return JP2Reader(path, mpp=mpp)
+        except ImportError as exc:
+            raise RuntimeError(
+                f"{path}: JP2 requires glymur, which is not available in "
+                "this environment; convert to an .npy pyramid directory "
+                "(level_0.npy + meta.yml)") from exc
     if ext in (".svs", ".ndpi", ".mrxs", ".scn", ".vms", ".vmu", ".svslide"):
         try:
             return OpenSlideReader(path)

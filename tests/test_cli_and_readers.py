@@ -80,7 +80,7 @@ def test_npy_pyramid_reader_scaling(tmp_path):
 def test_virtual_reader_wraps_mask():
     mask = (np.arange(100).reshape(10, 10) % 2).astype(np.uint8)
     reader = VirtualWSIReader(mask)
-    region = reader._read_level0(0, 0, 10, 10)
+    region = reader._read_level(0, 0, 0, 10, 10)
     assert region.shape == (10, 10, 3)
 
 

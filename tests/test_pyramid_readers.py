@@ -1,0 +1,159 @@
+"""Pyramid-level selection, O(thumbnail) reads of giant planes, and the
+gated OpenSlide/JP2 backends (exercised through stub modules).
+
+Reference behaviors matched: best-level reads (tiatoolbox WSIReader;
+reference prepare_reading caches a resampled plane instead —
+misc/wsi_handler.py:55-95), JP2 pseudo-levels + strided reads
+(misc/wsi_handler.py:190-300)."""
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+import yaml
+
+from cerberus_tpu.wsi import reader as reader_mod
+from cerberus_tpu.wsi.reader import (
+    JP2Reader,
+    NpyPyramidReader,
+    OpenSlideReader,
+    open_wsi,
+)
+
+
+@pytest.fixture
+def pyramid_dir(tmp_path):
+    d = tmp_path / "slide"
+    os.makedirs(d)
+    rng = np.random.default_rng(0)
+    level0 = rng.integers(0, 255, (400, 600, 3)).astype(np.uint8)
+    np.save(d / "level_0.npy", level0)
+    # coarser levels: 2x and 4x decimations
+    np.save(d / "level_1.npy", level0[::2, ::2])
+    np.save(d / "level_2.npy", level0[::4, ::4])
+    with open(d / "meta.yml", "w") as f:
+        yaml.safe_dump({"mpp": 0.25, "objective_power": 40}, f)
+    return d, level0
+
+
+def test_multilevel_reads_use_coarse_levels(pyramid_dir):
+    d, level0 = pyramid_dir
+    reader = open_wsi(str(d))
+    assert isinstance(reader, NpyPyramidReader)
+    assert reader._level_downsamples == [1.0, 2.0, 4.0]
+
+    # a 4x-scale read must come from level 2 verbatim (no resize needed)
+    region = reader.read_bounds([0, 0, 100, 50], 1.0)  # scale 4
+    np.testing.assert_array_equal(region, level0[::4, ::4][:50, :100])
+    # a 2x read from level 1
+    region = reader.read_bounds([10, 10, 60, 40], 0.5)
+    np.testing.assert_array_equal(region, level0[::2, ::2][10:40, 10:60])
+    # native read still exact
+    region = reader.read_bounds([5, 7, 25, 27], 0.25)
+    np.testing.assert_array_equal(region, level0[7:27, 5:25])
+    # a 3x read picks level 1 (coarsest <= 3) and resizes
+    region = reader.read_bounds([0, 0, 100, 100], 0.75)
+    assert region.shape == (100, 100, 3)
+
+
+def test_thumbnail_of_giant_plane_is_o_thumbnail(tmp_path):
+    """A 40000^2 level-0-only pyramid (sparse file, never materialized):
+    slide_thumbnail must decimate at read time, not allocate the plane."""
+    d = tmp_path / "giant"
+    os.makedirs(d)
+    arr = np.lib.format.open_memmap(d / "level_0.npy", mode="w+",
+                                    dtype=np.uint8, shape=(40000, 40000, 3))
+    arr[:100, :100] = 200  # touch one corner so content is verifiable
+    del arr
+    with open(d / "meta.yml", "w") as f:
+        yaml.safe_dump({"mpp": 0.25, "objective_power": 40}, f)
+
+    reader = open_wsi(str(d))
+    reads = []
+    orig = NpyPyramidReader._read_level_strided
+
+    def counting(self, lvl, x0, y0, x1, y1, stride):
+        out = orig(self, lvl, x0, y0, x1, y1, stride)
+        reads.append(out.nbytes)
+        return out
+
+    NpyPyramidReader._read_level_strided = counting
+    try:
+        thumb = reader.slide_thumbnail(resolution=1.25, units="power")
+    finally:
+        NpyPyramidReader._read_level_strided = orig
+    assert thumb.shape == (1250, 1250, 3)
+    assert reads, "strided path was not taken"
+    # decimated read stays within 4x of the thumbnail payload
+    assert sum(reads) < 4 * thumb.nbytes
+    assert thumb[0, 0, 0] > 0  # corner content survived
+
+
+def test_openslide_reader_via_stub(tmp_path, monkeypatch):
+    """OpenSlideReader drives a stub openslide module: correct level choice
+    and level-0 addressing of read_region."""
+    rng = np.random.default_rng(1)
+    level0 = rng.integers(0, 255, (256, 512, 3)).astype(np.uint8)
+    levels = [level0, level0[::2, ::2], level0[::4, ::4]]
+    calls = []
+
+    class FakeSlide:
+        properties = {"openslide.mpp-x": "0.25",
+                      "openslide.objective-power": "40"}
+        dimensions = (512, 256)
+        level_downsamples = [1.0, 2.0, 4.0]
+
+        def __init__(self, path):
+            pass
+
+        def read_region(self, loc, lvl, size):
+            calls.append((loc, lvl, size))
+            x0l, y0l = loc[0] // int(2 ** lvl), loc[1] // int(2 ** lvl)
+            return levels[lvl][y0l:y0l + size[1], x0l:x0l + size[0]]
+
+    fake = types.ModuleType("openslide")
+    fake.OpenSlide = FakeSlide
+    monkeypatch.setitem(sys.modules, "openslide", fake)
+
+    reader = OpenSlideReader("fake.svs")
+    np.testing.assert_array_equal(reader.slide_dimensions(0.25), [512, 256])
+    region = reader.read_bounds([0, 0, 64, 32], 1.0)  # scale 4 -> level 2
+    assert calls[-1][1] == 2
+    np.testing.assert_array_equal(region, levels[2][:32, :64])
+    # native-scale read from level 0, location in level-0 coords
+    region = reader.read_bounds([10, 20, 42, 52], 0.25)
+    assert calls[-1] == ((10, 20), 0, (32, 32))
+    np.testing.assert_array_equal(region, level0[20:52, 10:42])
+
+
+def test_jp2_reader_via_stub(tmp_path, monkeypatch):
+    """JP2Reader's pseudo-levels are strided reads of the codestream."""
+    rng = np.random.default_rng(2)
+    plane = rng.integers(0, 255, (300, 400, 3)).astype(np.uint8)
+
+    class FakeJp2k:
+        shape = plane.shape
+
+        def __init__(self, path):
+            pass
+
+        def __getitem__(self, key):
+            return plane[key]
+
+    fake = types.ModuleType("glymur")
+    fake.Jp2k = FakeJp2k
+    monkeypatch.setitem(sys.modules, "glymur", fake)
+
+    reader = JP2Reader("fake.jp2", mpp=0.25)
+    assert reader._level_downsamples == [1.0, 2.0, 4.0, 8.0, 16.0, 32.0]
+    # scale-4 read = stride-4 slice of the codestream
+    region = reader.read_bounds([0, 0, 64, 32], 1.0)
+    np.testing.assert_array_equal(region, plane[::4, ::4][:32, :64])
+    # native
+    region = reader.read_bounds([3, 5, 33, 25], 0.25)
+    np.testing.assert_array_equal(region, plane[5:25, 3:33])
+    # dispatch: .jp2 without glymur raises the gated error
+    monkeypatch.delitem(sys.modules, "glymur")
+    with pytest.raises(RuntimeError, match="glymur"):
+        open_wsi(str(tmp_path / "x.jp2"))

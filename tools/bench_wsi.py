@@ -1,0 +1,215 @@
+"""Synthetic 40x WSI end-to-end benchmark (BASELINE.md north star:
+masked 40x CRC slide in <= 5 minutes).
+
+Generates a masked npy-pyramid slide (default 49152^2 base plane at
+0.25 mpp = "40x", tissue blobs covering ~20%, levels 0-3), a biased
+random checkpoint whose INST heads produce real instances (same recipe as
+.claude/skills/verify), then drives the REAL CLI (run_infer_wsi.py) and
+reports the per-phase wall-clock the pipeline logs per slide (the
+reference's phase spans, infer/wsi.py:582-856).
+
+Usage: python tools/bench_wsi.py [--size=N] [--tissue=F] [--keep]
+Prints ONE JSON line with per-phase seconds and the <=300 s target.
+"""
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+import cv2
+import numpy as np
+import yaml
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def make_slide(root: str, size: int, tissue_frac: float, seed: int = 0):
+    """Sparse level-0 memmap + dense coarser levels; tissue = textured
+    ellipses, background untouched (zero pages cost no disk)."""
+    rng = np.random.default_rng(seed)
+    slide_dir = os.path.join(root, "slide_a")
+    os.makedirs(slide_dir, exist_ok=True)
+    lv0 = np.lib.format.open_memmap(
+        os.path.join(slide_dir, "level_0.npy"), mode="w+", dtype=np.uint8,
+        shape=(size, size, 3))
+
+    # tissue blobs on a 1/64 grid
+    g = size // 64
+    mask = np.zeros((g, g), np.uint8)
+    n_blobs = 3
+    target = tissue_frac * g * g
+    area = 0
+    for _ in range(n_blobs):
+        cx, cy = rng.integers(g // 5, 4 * g // 5, 2)
+        ax, ay = rng.integers(g // 10, g // 4, 2)
+        cv2.ellipse(mask, (int(cx), int(cy)), (int(ax), int(ay)),
+                    float(rng.uniform(0, 180)), 0, 360, 1, -1)
+        area = mask.sum()
+        if area >= target:
+            break
+
+    # write texture into masked 64x64-cell blocks, chunked rows to cap RAM
+    for gy in range(g):
+        ys = np.flatnonzero(mask[gy])
+        if len(ys) == 0:
+            continue
+        row = rng.integers(60, 230, (64, 64 * len(ys), 3)).astype(np.uint8)
+        for i, gx in enumerate(ys):
+            lv0[gy * 64:(gy + 1) * 64, gx * 64:(gx + 1) * 64] = \
+                row[:, i * 64:(i + 1) * 64]
+    lv0.flush()
+
+    # coarser levels by decimation (level 1 = the 0.5 mpp processing plane)
+    prev = lv0
+    for lev in (1, 2, 3):
+        cur = np.lib.format.open_memmap(
+            os.path.join(slide_dir, f"level_{lev}.npy"), mode="w+",
+            dtype=np.uint8, shape=(size >> lev, size >> lev, 3))
+        chunk = 4096
+        for y in range(0, size >> lev, chunk):
+            y1 = min(y + chunk, size >> lev)
+            cur[y:y1] = prev[2 * y:2 * y1:2, ::2]
+        cur.flush()
+        prev = cur
+    del lv0, prev, cur
+
+    with open(os.path.join(slide_dir, "meta.yml"), "w") as f:
+        yaml.safe_dump({"mpp": 0.25, "objective_power": 40}, f)
+
+    msk_dir = os.path.join(root, "masks")
+    os.makedirs(msk_dir, exist_ok=True)
+    cv2.imwrite(os.path.join(msk_dir, "slide_a.png"), mask * 255)
+    return slide_dir, msk_dir, float(mask.mean())
+
+
+def make_model(root: str) -> str:
+    import jax
+
+    from cerberus_tpu.config import (
+        DEFAULT_DECODER_KWARGS,
+        DEFAULT_TARGET_CODE,
+        ModelConfig,
+    )
+    from cerberus_tpu.models.convert import save_checkpoint
+    from cerberus_tpu.models.net_desc import init_net_params
+
+    kwargs = {
+        "encoder_backbone_name": "resnet34",
+        "decoder_kwargs": DEFAULT_DECODER_KWARGS,
+        "considered_tasks": list(DEFAULT_DECODER_KWARGS.keys()),
+    }
+    d = os.path.join(root, "model")
+    os.makedirs(d, exist_ok=True)
+    with jax.default_device(jax.devices("cpu")[0]):
+        params = init_net_params(jax.random.PRNGKey(42),
+                                 ModelConfig.from_kwargs(kwargs))
+    params = {k: {kk: np.asarray(vv) for kk, vv in v.items()}
+              for k, v in params.items()}
+    for head in ("Gland", "Nuclei", "Lumen"):
+        leaf = params[f"output_head.{head}.INST.x.1.conv"]
+        leaf["kernel"] = leaf["kernel"] * 0.003
+        b = np.zeros_like(leaf["bias"])
+        b[0], b[1], b[2] = -2.0, 2.0, -1.5
+        leaf["bias"] = b
+    save_checkpoint(os.path.join(d, "weights.tar"), params)
+    with open(os.path.join(d, "settings.yml"), "w") as f:
+        yaml.safe_dump({
+            "dataset_kwargs": {"req_target_code": dict(DEFAULT_TARGET_CODE)},
+            "model_kwargs": kwargs}, f)
+    return d
+
+
+PHASE_RE = {
+    "placement_s": r"Preparing Input Output Placement: ([0-9.]+)",
+    "inference_s": r"Inference Time: ([0-9.]+)",
+    "nuclei_postproc_s": r"Nuclei Post Proc Time: ([0-9.]+)",
+    "tissue_postproc_s": r"Tissue Region Post Proc Time: ([0-9.]+)",
+    "gland_lumen_postproc_s": r"Gland & Lumen Post Proc Time: ([0-9.]+)",
+    "overall_s": r"Overall Time: ([0-9.]+)",
+}
+
+
+def main() -> None:
+    size = 49152
+    tissue = 0.2
+    keep = False
+    for arg in sys.argv[1:]:
+        if arg.startswith("--size="):
+            size = int(arg.split("=")[1])
+        elif arg.startswith("--tissue="):
+            tissue = float(arg.split("=")[1])
+        elif arg == "--keep":
+            keep = True
+
+    root = tempfile.mkdtemp(prefix="cerberus_wsi_bench_")
+    try:
+        t0 = time.perf_counter()
+        _slide, msk_dir, frac = make_slide(root, size, tissue)
+        model_dir = make_model(root)
+        gen_s = time.perf_counter() - t0
+
+        out_dir = os.path.join(root, "out")
+        cmd = [
+            sys.executable, os.path.join(REPO, "run_infer_wsi.py"),
+            f"--model={model_dir}",
+            f"--input_dir={root}",
+            f"--output_dir={out_dir}",
+            f"--msk_dir={msk_dir}/",
+            f"--cache_path={os.path.join(root, 'cache')}",
+            f"--logging_dir={os.path.join(root, 'logging')}",
+            "--batch_size=128",
+            "--nr_inference_workers=8",
+            "--nr_post_proc_workers=0",
+            "--postproc_backend=tpu",
+        ]
+        t0 = time.perf_counter()
+        proc = subprocess.run(cmd, capture_output=True, text=True,
+                              cwd=REPO, timeout=3600)
+        wall_s = time.perf_counter() - t0
+        if proc.returncode != 0:
+            print(json.dumps({"metric": "synthetic 40x WSI e2e", "value": -1,
+                              "unit": "s", "error": proc.stderr[-2000:]}))
+            sys.exit(1)
+
+        log_dir = os.path.join(root, "logging")
+        logs = [os.path.join(log_dir, f) for f in os.listdir(log_dir)
+                if f.endswith("_std.log")]
+        phases = {}
+        if logs:
+            text = open(sorted(logs)[-1]).read()
+            for key, pat in PHASE_RE.items():
+                m = re.findall(pat, text)
+                if m:
+                    phases[key] = round(float(m[-1]), 2)
+        import joblib
+
+        dat = joblib.load(os.path.join(out_dir, "dat", "slide_a.dat"))
+        counts = {k: len(dat[k]) for k in ("Nuclei", "Gland", "Lumen")
+                  if k in dat}
+        print(json.dumps({
+            "metric": "synthetic 40x WSI end-to-end (masked, %dk^2 base, "
+                      "%.0f%% tissue)" % (size // 1024, 100 * frac),
+            "value": phases.get("overall_s", round(wall_s, 2)),
+            "unit": "s",
+            "target_s": 300,
+            "process_wall_s": round(wall_s, 2),
+            "phases": phases,
+            "instances": counts,
+            "datagen_s": round(gen_s, 2),
+        }))
+    finally:
+        if keep:
+            print("kept:", root, file=sys.stderr)
+        else:
+            shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
