@@ -146,6 +146,38 @@ class InferManager(BaseInferManager):
         # postproc_backend='tpu' keeps instance postproc on-chip; it runs
         # in-process (pool workers would re-initialize the device)
         backend = getattr(self, "postproc_backend", "cpu")
+
+        # tile_backend='fused': the SURVEY.md §7 stage-3/4 end-state — the
+        # patch scan, forward and canvas scatter run as ONE on-device XLA
+        # program per file (infer/fused_tile.py); only the stitched canvas
+        # (or, with backend='tpu', the instance maps) leaves the chip.
+        if getattr(self, "tile_backend", "host") == "fused":
+            assert self.patch_output_overlap == 0, (
+                "fused tile backend writes patches last-write-wins and "
+                "requires non-overlapping output windows")
+            from .fused_tile import run_fused_tile
+
+            for file_path in file_path_list:
+                img = cv2.imread(file_path)
+                img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+                canvas = run_fused_tile(
+                    self.params, img, self.cfg,
+                    int(self.patch_input_shape),
+                    int(self.patch_output_shape), int(self.batch_size),
+                    self.compute_dtype)
+                image_info = {
+                    "src_pos": (0, 0),
+                    "src_shape": img.shape[:2],
+                    "src_image": img,
+                    "name": pathlib.Path(file_path).stem,
+                }
+                results = post_process_tile(
+                    canvas, image_info, self.decoder_dict,
+                    self.postproc_list, self.cfg.active_decoder_kwargs,
+                    backend)
+                self._save_results(results, self.output_dir, viz_info)
+                log_info("Done Assembling %s" % image_info["name"])
+            return
         proc_pool = None
         if getattr(self, "nr_post_proc_workers", 0) > 0 and backend != "tpu":
             proc_pool = ProcessPoolExecutor(

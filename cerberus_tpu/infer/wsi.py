@@ -103,7 +103,7 @@ def _pad_to_512(arr: np.ndarray) -> np.ndarray:
 def _process_tile_predictions(raw_path, canvas_shape, inst_slice, type_slice,
                               tile_bounds, tile_flag, tile_mode,
                               ref_boxes, ref_uids, margin, postproc_code,
-                              backend: str = "cpu"):
+                              backend: str = "cpu", mesh=None):
     """Nuclei post-processing worker for one boundary-repair tile.
 
     Module-level and memmap-based so it pickles cleanly into a process pool
@@ -137,7 +137,15 @@ def _process_tile_predictions(raw_path, canvas_shape, inst_slice, type_slice,
         # seconds of run; zero padding is background, so instance maps on
         # the original window are identical
         raw_map = _pad_to_512(raw_map)
-    inst_map, type_map = proc_cls.post_process(raw_map, idx_dict, "Nuclei")
+    if backend == "tpu":
+        # spatial sharding: with a mesh the watershed/CC cores row-shard
+        # across devices with ppermute halo exchange (ops/sharded_cc.py —
+        # the sequence-parallel analog, SURVEY.md §2.9)
+        inst_map, type_map = proc_cls.post_process(raw_map, idx_dict,
+                                                   "Nuclei", mesh=mesh)
+    else:
+        inst_map, type_map = proc_cls.post_process(raw_map, idx_dict,
+                                                   "Nuclei")
     inst_map = inst_map[:h, :w]
     if type_map is not None:
         type_map = type_map[:h, :w]
@@ -394,7 +402,10 @@ class InferManager(BaseInferManager):
                             idx_dict.get("Nuclei-TYPE"), tile_bounds,
                             pp_flags[tile_idx], set_idx,
                             ref_boxes, ref_uids if set_idx == 3 else [],
-                            ioconfig_pp.margin, postproc_code, pp_backend)
+                            ioconfig_pp.margin, postproc_code, pp_backend,
+                            # mesh only rides the in-process tpu path (it is
+                            # not picklable; the pool path never uses it)
+                            self.mesh if pp_backend == "tpu" else None)
                     if self._postproc_workers is not None \
                             and pp_backend != "tpu":
                         futures.append(
@@ -482,10 +493,12 @@ class InferManager(BaseInferManager):
 
                     proc_cls = TPU_POSTPROC_FUNC_DICT[
                         self.decoder_dict[f"{tissue_code}-INST"]]
-                    # shape-bucket tissue regions like the nuclei tiles
+                    # shape-bucket tissue regions like the nuclei tiles;
+                    # with a mesh the CC core row-shards over devices
                     rh, rw = region.shape[:2]
                     inst_map, type_map = proc_cls.post_process(
-                        _pad_to_512(region), new_idx, tissue_code, ds)
+                        _pad_to_512(region), new_idx, tissue_code, ds,
+                        mesh=self.mesh)
                     inst_map = inst_map[:rh, :rw]
                     if type_map is not None:
                         type_map = type_map[:rh, :rw]

@@ -23,7 +23,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from . import lax_postproc as L
 
-AXIS = "rows"
+AXIS = "rows"  # default axis name; public fns adopt the mesh's own axis
 
 
 def _local_pass(lab, mask, big, row0, w):
@@ -60,10 +60,10 @@ def _local_pass(lab, mask, big, row0, w):
     return lab
 
 
-def _sharded_cc_kernel(mask):
+def _sharded_cc_kernel(mask, axis=AXIS):
     """shard_map body: mask (h_local, W) bool on each device."""
-    d = jax.lax.axis_index(AXIS)
-    n_dev = jax.lax.axis_size(AXIS)
+    d = jax.lax.axis_index(axis)
+    n_dev = jax.lax.axis_size(axis)
     h_local, w = mask.shape
     big = jnp.int32(0x7FFFFFF0)
     row0 = d * h_local
@@ -83,15 +83,15 @@ def _sharded_cc_kernel(mask):
         lab = _local_pass(lab, mask, big, row0, w)
         # halo exchange: my last row -> next device's "above" halo;
         # my first row -> previous device's "below" halo
-        above = jax.lax.ppermute(lab[-1], AXIS, fwd)   # row from d-1
-        below = jax.lax.ppermute(lab[0], AXIS, bwd)    # row from d+1
+        above = jax.lax.ppermute(lab[-1], axis, fwd)   # row from d-1
+        below = jax.lax.ppermute(lab[0], axis, bwd)    # row from d+1
         above = jnp.where(d == 0, big, above)
         below = jnp.where(d == n_dev - 1, big, below)
         top = jnp.where(mask[0], jnp.minimum(lab[0], above), big)
         bot = jnp.where(mask[-1], jnp.minimum(lab[-1], below), big)
         new = lab.at[0].set(top).at[-1].set(bot)
         local_changed = jnp.any(new != lab)
-        changed = jax.lax.psum(local_changed.astype(jnp.int32), AXIS) > 0
+        changed = jax.lax.psum(local_changed.astype(jnp.int32), axis) > 0
         return new, changed
 
     # psum makes the outer flag replicated (unvarying), so plain True here
@@ -100,7 +100,7 @@ def _sharded_cc_kernel(mask):
     return jnp.where(mask, lab, 0)
 
 
-def _propagate_sharded(lab, allowed, big, d, n_dev):
+def _propagate_sharded(lab, allowed, big, d, n_dev, axis=AXIS):
     """Min-label propagation through ``allowed`` pixels to a GLOBAL fixed
     point: local sweeps + ppermute halo rows until psum says done."""
     fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
@@ -130,9 +130,9 @@ def _propagate_sharded(lab, allowed, big, d, n_dev):
     def outer_body(state):
         lab, _ = state
         lab = local_sweeps(lab)
-        above = jax.lax.ppermute(lab[-1], AXIS, [(i, (i + 1) % n_dev)
+        above = jax.lax.ppermute(lab[-1], axis, [(i, (i + 1) % n_dev)
                                                  for i in range(n_dev)])
-        below = jax.lax.ppermute(lab[0], AXIS, [(i, (i - 1) % n_dev)
+        below = jax.lax.ppermute(lab[0], axis, [(i, (i - 1) % n_dev)
                                                 for i in range(n_dev)])
         above = jnp.where(d == 0, big, above)
         below = jnp.where(d == n_dev - 1, big, below)
@@ -142,7 +142,7 @@ def _propagate_sharded(lab, allowed, big, d, n_dev):
                         jnp.minimum(lab[-1], below), lab[-1])
         new = lab.at[0].set(top).at[-1].set(bot)
         changed = jax.lax.psum(jnp.any(new != lab).astype(jnp.int32),
-                               AXIS) > 0
+                               axis) > 0
         return new, changed
 
     lab, _ = jax.lax.while_loop(outer_cond, outer_body,
@@ -150,23 +150,23 @@ def _propagate_sharded(lab, allowed, big, d, n_dev):
     return lab
 
 
-def _sharded_watershed_kernel(image, markers, mask, n_levels):
-    d = jax.lax.axis_index(AXIS)
-    n_dev = jax.lax.axis_size(AXIS)
+def _sharded_watershed_kernel(image, markers, mask, n_levels, axis=AXIS):
+    d = jax.lax.axis_index(axis)
+    n_dev = jax.lax.axis_size(axis)
     big = jnp.int32(0x7FFFFFF0)
     mask = mask.astype(bool)
     lab = jnp.where(mask & (markers > 0), markers.astype(jnp.int32), big)
 
     img = jnp.where(mask, image, jnp.inf)
-    lo = jax.lax.pmin(jnp.min(jnp.where(mask, image, jnp.inf)), AXIS)
-    hi = jax.lax.pmax(jnp.max(jnp.where(mask, image, -jnp.inf)), AXIS)
+    lo = jax.lax.pmin(jnp.min(jnp.where(mask, image, jnp.inf)), axis)
+    hi = jax.lax.pmax(jnp.max(jnp.where(mask, image, -jnp.inf)), axis)
     span = jnp.maximum(hi - lo, 1e-6)
     level_of = jnp.clip(((img - lo) / span * (n_levels - 1)).astype(jnp.int32),
                         0, n_levels - 1)
 
     def level_body(level, lab):
         allowed = mask & (level_of <= level)
-        return _propagate_sharded(lab, allowed, big, d, n_dev)
+        return _propagate_sharded(lab, allowed, big, d, n_dev, axis)
 
     lab = jax.lax.fori_loop(0, n_levels, level_body, lab)
     return jnp.where(mask & (lab != big), lab, 0)
@@ -179,13 +179,15 @@ def watershed_sharded(image: np.ndarray, markers: np.ndarray,
     halo-row exchange per propagation round. Matches ops/lax_postproc.
     watershed semantics (same level bucketing) across any mesh size."""
     n_dev = mesh.devices.size
+    axis = mesh.axis_names[0]
     h, w = image.shape
     assert h % n_dev == 0, f"H={h} must divide by mesh size {n_dev}"
-    sharding = NamedSharding(mesh, P(AXIS, None))
+    sharding = NamedSharding(mesh, P(axis, None))
     fn = jax.jit(
-        jax.shard_map(partial(_sharded_watershed_kernel, n_levels=n_levels),
-                      mesh=mesh, in_specs=P(AXIS, None),
-                      out_specs=P(AXIS, None)))
+        jax.shard_map(partial(_sharded_watershed_kernel, n_levels=n_levels,
+                              axis=axis),
+                      mesh=mesh, in_specs=P(axis, None),
+                      out_specs=P(axis, None)))
     args = [jax.device_put(np.asarray(a), sharding)
             for a in (image.astype(np.float32), markers.astype(np.int32),
                       np.asarray(mask, bool))]
@@ -198,12 +200,86 @@ def connected_components_sharded(mask: np.ndarray, mesh: Mesh) -> np.ndarray:
     H must divide evenly by the mesh size; ids match the single-device
     kernel (global min flattened index + 1)."""
     n_dev = mesh.devices.size
+    axis = mesh.axis_names[0]
     h, w = mask.shape
     assert h % n_dev == 0, f"H={h} must divide by mesh size {n_dev}"
 
-    sharding = NamedSharding(mesh, P(AXIS, None))
+    sharding = NamedSharding(mesh, P(axis, None))
     fn = jax.jit(
-        jax.shard_map(_sharded_cc_kernel, mesh=mesh,
-                      in_specs=P(AXIS, None), out_specs=P(AXIS, None)))
+        jax.shard_map(partial(_sharded_cc_kernel, axis=axis), mesh=mesh,
+                      in_specs=P(axis, None), out_specs=P(axis, None)))
     mask_dev = jax.device_put(np.asarray(mask, bool), sharding)
     return np.asarray(fn(mask_dev))
+
+
+# ---------------------------------------------------------------------------
+# production compositions (the tpu_postproc families with their CC/watershed
+# cores row-sharded over a mesh) — wired into infer/wsi.py when the manager
+# holds a mesh and postproc_backend='tpu' (SURVEY.md §2.9 SP row)
+# ---------------------------------------------------------------------------
+
+def _pad_rows(arr: np.ndarray, n_dev: int):
+    """Zero-pad rows to a mesh multiple (zeros are background)."""
+    h = arr.shape[0]
+    ph = -(-h // n_dev) * n_dev
+    if ph == h:
+        return arr, h
+    pad = [(0, ph - h)] + [(0, 0)] * (arr.ndim - 1)
+    return np.pad(np.asarray(arr), pad), h
+
+
+def sharded_nuclei_watershed(inner_raw, cnt_raw, mesh: Mesh) -> np.ndarray:
+    """ops/tpu_postproc._nuclei_watershed with the heavy cores (three CC
+    labelings + the watershed flood) row-sharded over ``mesh`` via ppermute
+    halos. Mask/marker prep (erode, small-object removal, hole fill) are
+    single-program jit — they are one conv / one segment-sum each."""
+    inner, h = _pad_rows(np.asarray(inner_raw, np.float32), mesh.devices.size)
+    cnt, _ = _pad_rows(np.asarray(cnt_raw, np.float32), mesh.devices.size)
+
+    se3 = L.disk_kernel(3)
+    msk = np.asarray(L.binary_erode(jnp.asarray((inner + cnt) > 0.5), se3))
+    msk_lab = connected_components_sharded(msk, mesh)
+    msk = np.asarray(L.remove_small_objects(jnp.asarray(msk_lab), 8)) > 0
+
+    mrk_lab = connected_components_sharded(inner > 0.5, mesh)
+    mrk_lab = L.remove_small_objects(jnp.asarray(mrk_lab), 4)
+    mrk = np.asarray(L.fill_holes(mrk_lab > 0))
+    markers = connected_components_sharded(mrk, mesh)
+
+    lab = watershed_sharded(-inner, markers, msk, mesh)
+    return lab[:h]
+
+
+def sharded_contour_instances(inner_raw, cnt_raw, thresh: float,
+                              min_size: int, ksize: int,
+                              mesh: Mesh) -> np.ndarray:
+    """ops/tpu_postproc._inner_contour_instances (gland/lumen family) with
+    the CC core row-sharded; regrowth (label max-dilation + hole fill) runs
+    as one jit program."""
+    inner, h = _pad_rows(np.asarray(inner_raw, np.float32), mesh.devices.size)
+    cnt, _ = _pad_rows(np.asarray(cnt_raw, np.float32), mesh.devices.size)
+    fg = (inner - (cnt > 0.5)) > thresh
+    lab = connected_components_sharded(fg, mesh)
+
+    @partial(jax.jit, static_argnames=("min_size", "ksize"))
+    def regrow(lab, min_size, ksize):
+        lab = L.remove_small_objects(lab, min_size)
+        lab = L.dilate_labels(lab, ksize)
+        return L.fill_label_holes(lab)
+
+    return np.asarray(regrow(jnp.asarray(lab), min_size, ksize))[:h]
+
+
+def sharded_eroded_instances(fg_raw, thresh: float, min_size: int,
+                             ksize: int, mesh: Mesh) -> np.ndarray:
+    """ops/tpu_postproc._eroded_map_instances with the CC core sharded."""
+    fg, h = _pad_rows(np.asarray(fg_raw, np.float32), mesh.devices.size)
+    lab = connected_components_sharded(fg > thresh, mesh)
+
+    @partial(jax.jit, static_argnames=("min_size", "ksize"))
+    def regrow(lab, min_size, ksize):
+        lab = L.remove_small_objects(lab, min_size)
+        lab = L.dilate_labels(lab, ksize)
+        return L.fill_label_holes(lab)
+
+    return np.asarray(regrow(jnp.asarray(lab), min_size, ksize))[:h]

@@ -122,11 +122,17 @@ class TPUPostProcInstErodedMap:
     _SPEC = {"GLAND": (1500, 11), "LUMEN": (150, 3), "NUCLEI": (8, 3)}
 
     @classmethod
-    def post_process(cls, raw_map, idx_dict, tissue_mode, ds_factor=1.0):
+    def post_process(cls, raw_map, idx_dict, tissue_mode, ds_factor=1.0,
+                     mesh=None):
         min_size, ksize = cls._SPEC[tissue_mode.upper()]
         s, e = idx_dict["%s-INST" % tissue_mode]
         fg = jnp.asarray(np.squeeze(np.asarray(raw_map[..., s:e])))
-        lab = _eroded_map_instances(fg, 0.5, min_size, ksize, _cc_impl())
+        if mesh is not None:
+            from .sharded_cc import sharded_eroded_instances
+
+            lab = sharded_eroded_instances(fg, 0.5, min_size, ksize, mesh)
+        else:
+            lab = _eroded_map_instances(fg, 0.5, min_size, ksize, _cc_impl())
         inst_map = _compact_labels(lab)
         type_key = tissue_mode + "-TYPE"
         type_map = (np.asarray(raw_map[..., idx_dict[type_key][0]:
@@ -142,20 +148,32 @@ class TPUPostProcInstErodedContourMap:
     }
 
     @classmethod
-    def post_process(cls, raw_map, idx_dict, tissue_mode, ds_factor=1.0):
+    def post_process(cls, raw_map, idx_dict, tissue_mode, ds_factor=1.0,
+                     mesh=None):
         s, e = idx_dict["%s-INST" % tissue_mode]
         fg = np.asarray(raw_map[..., s:e])
         inner = jnp.asarray(fg[..., 0])
         cnt = jnp.asarray(fg[..., 1])
         mode = tissue_mode.upper()
         if mode == "NUCLEI":
-            lab = _nuclei_watershed(inner, cnt, _cc_impl())
+            if mesh is not None:
+                from .sharded_cc import sharded_nuclei_watershed
+
+                lab = sharded_nuclei_watershed(inner, cnt, mesh)
+            else:
+                lab = _nuclei_watershed(inner, cnt, _cc_impl())
         else:
             thresh, base_min, base_k = cls._SPEC[mode]
-            lab = _inner_contour_instances(
-                inner, cnt, thresh,
-                int(base_min * ds_factor ** 2),
-                int((base_k - 1) * ds_factor), _cc_impl())
+            min_size = int(base_min * ds_factor ** 2)
+            ksize = int((base_k - 1) * ds_factor)
+            if mesh is not None:
+                from .sharded_cc import sharded_contour_instances
+
+                lab = sharded_contour_instances(inner, cnt, thresh,
+                                                min_size, ksize, mesh)
+            else:
+                lab = _inner_contour_instances(inner, cnt, thresh, min_size,
+                                               ksize, _cc_impl())
         inst_map = _compact_labels(lab)
         type_key = tissue_mode + "-TYPE"
         if type_key in idx_dict:

@@ -4,7 +4,7 @@ Usage:
   run_infer_tile.py [--gpu=<id>] [--model=<path>] [--nr_inference_workers=<n>] \
             [--nr_post_proc_workers=<n>] [--batch_size=<n>] [--input_dir=<path>] \
             [--output_dir=<path>] [--patch_input_shape=<n>] [--patch_output_shape=<n>] \
-            [--postproc_backend=<str>]
+            [--postproc_backend=<str>] [--tile_backend=<str>]
   run_infer_tile.py (-h | --help)
   run_infer_tile.py --version
 
@@ -21,6 +21,7 @@ Options:
   --patch_input_shape=<n>     Shape of input patch to the network- Assume square shape. [default: 448]
   --patch_output_shape=<n>    Shape of network output- Assume square shape. [default: 144]
   --postproc_backend=<str>    Instance post-processing backend: cpu (scipy/cv2 oracle) or tpu (on-chip lax/Pallas kernels). [default: cpu]
+  --tile_backend=<str>        Tile engine: host (gather + stitch on host) or fused (forward + canvas scatter as one on-device program). [default: host]
 
 Flag surface is bit-for-bit the reference CLI (run_infer_tile.py:1-23). The
 ``--gpu`` flag is accepted for drop-in compatibility; device selection on TPU
@@ -61,6 +62,7 @@ if __name__ == "__main__":
         "patch_output_overlap": 0,
         "postproc_list": list(DEFAULT_TARGET_LIST),
         "postproc_backend": args["--postproc_backend"],
+        "tile_backend": args["--tile_backend"],
     }
 
     from cerberus_tpu.infer.tile import InferManager
