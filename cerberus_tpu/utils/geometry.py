@@ -73,3 +73,51 @@ def get_overlap(bb1, bb2) -> float:
     area_a = (a["x2"] - a["x1"]) * (a["y2"] - a["y1"])
     area_b = (b["x2"] - b["x1"]) * (b["y2"] - b["y1"])
     return inter / float(area_a + area_b - inter)
+
+
+def pairwise_iou(true: np.ndarray, pred: np.ndarray) -> np.ndarray:
+    """(n_true, n_pred) IoU matrix between two instance label maps.
+
+    The eval-side pairwise-IoU machinery the reference exposes around
+    ``get_overlap`` (misc/utils.py:25-75) generalized to instance masks: one
+    joint bincount over the flattened pair instead of per-pair mask loops.
+    Labels are assumed 1..N (use ``remap_label`` first); background 0 is
+    excluded. Standard matcher input for dice/PQ-style instance metrics.
+    """
+    true = np.asarray(true).astype(np.int64).ravel()
+    pred = np.asarray(pred).astype(np.int64).ravel()
+    n_true = int(true.max())
+    n_pred = int(pred.max())
+    if n_true == 0 or n_pred == 0:
+        return np.zeros((n_true, n_pred), np.float64)
+    inter = np.bincount(true * (n_pred + 1) + pred,
+                        minlength=(n_true + 1) * (n_pred + 1))
+    inter = inter.reshape(n_true + 1, n_pred + 1).astype(np.float64)
+    area_t = inter.sum(1, keepdims=True)  # true areas incl. bg column
+    area_p = inter.sum(0, keepdims=True)
+    inter = inter[1:, 1:]
+    union = area_t[1:] + area_p[:, 1:] - inter
+    return np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+
+
+def match_instances(true: np.ndarray, pred: np.ndarray,
+                    iou_thresh: float = 0.5):
+    """Greedy IoU matching: returns (pairs [(true_id, pred_id, iou)],
+    unmatched_true_ids, unmatched_pred_ids). With iou_thresh >= 0.5 the
+    greedy matching is provably optimal (IoU>0.5 pairs are unique)."""
+    iou = pairwise_iou(true, pred)
+    pairs = []
+    used_t, used_p = set(), set()
+    order = np.argsort(iou, axis=None)[::-1]
+    for flat in order:
+        ti, pi = np.unravel_index(flat, iou.shape)
+        if iou[ti, pi] < iou_thresh:
+            break
+        if ti in used_t or pi in used_p:
+            continue
+        pairs.append((int(ti) + 1, int(pi) + 1, float(iou[ti, pi])))
+        used_t.add(ti)
+        used_p.add(pi)
+    un_t = [t + 1 for t in range(iou.shape[0]) if t not in used_t]
+    un_p = [p + 1 for p in range(iou.shape[1]) if p not in used_p]
+    return pairs, un_t, un_p

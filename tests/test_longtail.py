@@ -119,3 +119,26 @@ def test_model_summary_counts():
     assert total > 1e6
     summary = get_model_summary(params)
     assert "TOTAL" in summary and "backbone.conv1" in summary
+
+
+def test_pairwise_iou_and_matching():
+    from cerberus_tpu.utils.geometry import match_instances, pairwise_iou
+
+    true = np.zeros((8, 8), np.int32)
+    pred = np.zeros((8, 8), np.int32)
+    true[0:4, 0:4] = 1
+    true[5:8, 5:8] = 2
+    pred[0:4, 1:4] = 1   # IoU 12/16 with true 1
+    pred[5:8, 4:8] = 2   # IoU 9/12 with true 2
+    pred[0:2, 6:8] = 3   # spurious
+    iou = pairwise_iou(true, pred)
+    assert iou.shape == (2, 3)
+    np.testing.assert_allclose(iou[0, 0], 12 / 16)
+    np.testing.assert_allclose(iou[1, 1], 9 / 12)
+    assert iou[0, 2] == 0.0
+    pairs, un_t, un_p = match_instances(true, pred)
+    assert [(t, p) for t, p, _ in pairs] == [(2, 2), (1, 1)]
+    assert un_t == [] and un_p == [3]
+
+    # empty maps
+    assert pairwise_iou(np.zeros((4, 4)), pred[:4, :4]).shape[0] == 0
