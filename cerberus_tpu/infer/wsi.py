@@ -385,6 +385,7 @@ class InferManager(BaseInferManager):
             pp_sets = self.get_tile_info(wsi_proc_shape_xy, ioconfig_pp)
             postproc_code = self.decoder_dict["Nuclei-INST"]
             pp_backend = getattr(self, "postproc_backend", "cpu")
+            tile_threads = None
             for set_idx, (pp_bounds, pp_flags) in enumerate(pp_sets):
                 futures = []
                 for tile_idx, tile_bounds in enumerate(pp_bounds):
@@ -411,6 +412,16 @@ class InferManager(BaseInferManager):
                         futures.append(
                             self._postproc_workers.submit(
                                 _process_tile_predictions, *args))
+                    elif pp_backend == "tpu":
+                        # threads overlap host-side work (mmap reads,
+                        # contour extraction, dedup) with device compute;
+                        # jitted calls serialize on the device queue.
+                        # Tiles within a set are independent (cross-set
+                        # dedup state is read before submission).
+                        if tile_threads is None:
+                            tile_threads = ThreadPoolExecutor(max_workers=3)
+                        futures.append(tile_threads.submit(
+                            _process_tile_predictions, *args))
                     else:
                         futures.append(_process_tile_predictions(*args))
                 for fut in futures:
@@ -419,6 +430,8 @@ class InferManager(BaseInferManager):
                     nuclei_inst_info.update(new_dict)
                     for u in remove_uuids:
                         nuclei_inst_info.pop(u, None)
+            if tile_threads is not None:
+                tile_threads.shutdown(wait=True)
         wsi_inst_info = {"Nuclei": nuclei_inst_info}
         logger.info("Nuclei Post Proc Time: %.4f" % (time.perf_counter() - start))
 
