@@ -59,6 +59,48 @@ def test_fill_holes_matches_scipy():
     np.testing.assert_array_equal(got, ref)
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_fill_holes_matches_scipy_random(seed):
+    # random blob fields produce nested/irregular holes and border-touching
+    # background — the CC-based fill must equal the flood-fill oracle exactly
+    mask = _blob_mask(seed=seed, n=10, r=10)
+    ref = cc_cpu.binary_fill_holes(mask)
+    got = np.asarray(L.fill_holes(jnp.asarray(mask)))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_fill_label_holes_single_owner():
+    # a lumen-style hole enclosed by one instance adopts that instance's id
+    lab = np.zeros((48, 48), np.int32)
+    lab[5:40, 5:40] = 7
+    lab[15:30, 15:30] = 0          # hole inside instance 7
+    lab[44:47, 2:10] = 3           # separate solid instance
+    out = np.asarray(L.fill_label_holes(jnp.asarray(lab)))
+    assert (out[15:30, 15:30] == 7).all()
+    assert (out[44:47, 2:10] == 3).all()
+    # nothing outside instances was filled
+    assert out[0, 0] == 0 and out[42, 42] == 0
+
+
+def test_fill_label_holes_contested_matches_flood():
+    # a cavity jointly enclosed by two instances: the exact lockstep flood
+    # (labels advance 1 px/sweep, min id wins the meeting line) must run
+    lab = np.zeros((40, 60), np.int32)
+    lab[5:35, 5:30] = 2
+    lab[5:35, 30:55] = 9
+    lab[12:28, 12:48] = 0          # hole spanning both instances
+    out = np.asarray(L.fill_label_holes(jnp.asarray(lab)))
+    big = jnp.int32(40 * 60 + 2)
+    holes = (lab == 0) & np.asarray(
+        L.fill_holes(jnp.asarray(lab > 0)))
+    ref = np.asarray(L._propagate_labels(
+        jnp.asarray(lab), jnp.asarray(holes | (lab > 0)), big))
+    np.testing.assert_array_equal(out, ref)
+    # both ids own part of the cavity
+    assert (out[12:28, 12:48] == 2).any() and (out[12:28, 12:48] == 9).any()
+    assert (out[12:28, 12:48] > 0).all()
+
+
 def test_binary_morphology_matches_cv2():
     import cv2
 
