@@ -300,26 +300,40 @@ def fill_label_holes(lab: jnp.ndarray) -> jnp.ndarray:
     line) run, preserving the original contested-hole partition semantics.
     """
     h, w = lab.shape
-    holes = fill_holes(lab > 0) & (lab == 0)
     big = jnp.int32(h * w + 2)
-    hole_cc = connected_components(holes)
-    # per hole pixel: min/max labeled 4-neighbor (big/0 when none)
+    # ONE background CC serves both steps: holes are exactly the bg
+    # components that don't touch the border (fill_holes semantics), and
+    # those same component ids key the per-hole adoption reductions — no
+    # second CC over the hole set. Border-touching is folded into the max
+    # reduction as a sentinel, saving a separate segment pass + gather.
+    bg_lab = connected_components(lab == 0)
+    border = jnp.zeros((h, w), bool).at[0, :].set(True).at[-1, :].set(True) \
+        .at[:, 0].set(True).at[:, -1].set(True)
+    # per bg pixel: min/max labeled 4-neighbor (big/0 when none); border bg
+    # pixels contribute the `big` sentinel to the max so their whole
+    # component is marked non-hole
     nbr_min = _neighbor_min(jnp.where(lab > 0, lab, big), big)
-    nbr_max = _neighbor_max(jnp.where(lab > 0, lab, 0))
-    flat_cc = hole_cc.reshape(-1)
+    nbr_max = jnp.where(border, big,
+                        _neighbor_max(jnp.where(lab > 0, lab, 0)))
+    is_bg = lab == 0
+    flat_cc = bg_lab.reshape(-1)
     cmin = jax.ops.segment_min(
-        jnp.where(holes, nbr_min, big).reshape(-1), flat_cc,
+        jnp.where(is_bg, nbr_min, big).reshape(-1), flat_cc,
         num_segments=h * w + 1)
     cmax = jax.ops.segment_max(
-        jnp.where(holes, nbr_max, 0).reshape(-1), flat_cc,
+        jnp.where(is_bg, nbr_max, 0).reshape(-1), flat_cc,
         num_segments=h * w + 1)
-    contested = jnp.any((cmax > 0) & (cmin < big) & (cmin != cmax)
-                        & (jnp.arange(h * w + 1) > 0))
+    cmax = cmax.at[0].set(0)
+    owner = jnp.where(cmax < big, cmax, 0)     # 0 for border components
+    fill = owner[bg_lab]                        # per-pixel adopted label
+    holes = is_bg & (fill > 0)
+    contested = jnp.any((cmax > 0) & (cmax < big) & (cmin < big)
+                        & (cmin != cmax))
 
     def exact(lab):
         return _propagate_labels(lab, holes | (lab > 0), big)
 
     def fast(lab):
-        return jnp.where(holes, cmax[hole_cc], lab)
+        return jnp.where(holes, fill, lab)
 
     return jax.lax.cond(contested, exact, fast, lab)
