@@ -67,19 +67,26 @@ def get_config(model_kwargs: Dict, loss_kwargs: Dict,
 def build_trainer(config: Dict, train_loaders: Dict, valid_loaders: Dict,
                   log_dir: Optional[str] = None, seed: int = 0,
                   pretrained_params=None, best_metric: Optional[str] = None,
-                  mesh=None, remat: bool = False):
+                  mesh=None, remat: bool = False, compute_dtype=None):
     """Build chained train/infer engines for phase 0; returns (train_engine,
     infer_engine, net_holder).
 
     ``mesh``: a 1-D device mesh for data-parallel training (params/opt state
     replicated, batch sharded); ``remat`` enables per-stage activation
-    rematerialization for large-batch training."""
+    rematerialization for large-batch training; ``compute_dtype``
+    (e.g. jnp.bfloat16) runs forward/backward activations in that dtype
+    while params, optimizer moments, BN statistics and loss reductions stay
+    float32 — the standard TPU mixed-precision recipe (the float32 torch
+    reference has no analog; divergence documented in PARITY.md)."""
     phase = config["phase_list"][0]
     net_cfg = phase["run_info"]["net"]
     cfg = ModelConfig.from_kwargs(net_cfg["model_kwargs"])
     loss_kwargs = net_cfg["extra_info"]["loss"]
     per_n = config.get("per_n_steps", PER_N_STEPS)
 
+    import jax.numpy as jnp
+
+    dtype = compute_dtype if compute_dtype is not None else jnp.float32
     params = (pretrained_params if pretrained_params is not None
               else init_net_params(jax.random.PRNGKey(seed), cfg))
     schedule = make_lr_schedule(
@@ -89,11 +96,13 @@ def build_trainer(config: Dict, train_loaders: Dict, valid_loaders: Dict,
         from ..parallel.mesh import make_sharded_train_step
 
         train_step, init_state, tx = make_sharded_train_step(
-            cfg, mesh, loss_kwargs, net_cfg["optimizer_kwargs"])
+            cfg, mesh, loss_kwargs, net_cfg["optimizer_kwargs"],
+            compute_dtype=dtype)
         state = init_state(params)
     else:
         train_step, tx = make_train_step(cfg, loss_kwargs,
                                          net_cfg["optimizer_kwargs"],
+                                         compute_dtype=dtype,
                                          remat=remat)
         state = TrainState(params=params, opt_state=tx.init(params),
                            step=np.int32(0))
@@ -128,7 +137,7 @@ def build_trainer(config: Dict, train_loaders: Dict, valid_loaders: Dict,
     net = NetHolder(state, train_step=train_step, schedule=schedule,
                     rng=jax.random.PRNGKey(seed + 1), cfg=cfg,
                     extra_info=net_cfg["extra_info"])
-    valid_step = make_valid_step(cfg)
+    valid_step = make_valid_step(cfg, compute_dtype=dtype)
     heads = head_order(cfg)
     n_ch = head_output_channels(cfg)
 
@@ -215,10 +224,11 @@ def build_trainer(config: Dict, train_loaders: Dict, valid_loaders: Dict,
 def run_training(config: Dict, train_loaders: Dict, valid_loaders: Dict,
                  log_dir: Optional[str] = None, seed: int = 0,
                  pretrained_params=None, best_metric=None, mesh=None,
-                 remat: bool = False):
+                 remat: bool = False, compute_dtype=None):
     train_engine, _infer_engine, net = build_trainer(
         config, train_loaders, valid_loaders, log_dir, seed,
-        pretrained_params, best_metric=best_metric, mesh=mesh, remat=remat)
+        pretrained_params, best_metric=best_metric, mesh=mesh, remat=remat,
+        compute_dtype=compute_dtype)
     nr_epochs = config["phase_list"][0]["nr_epochs"]
     train_engine.run(nr_epoch=nr_epochs)
     return net

