@@ -26,10 +26,69 @@ from . import lax_postproc as L
 AXIS = "rows"  # default axis name; public fns adopt the mesh's own axis
 
 
+def _local_seed(mask, row0, w, big):
+    """Strip-local multigrid seeding (mirrors lax_postproc._cc_seed, but
+    shard_map-safe: the fixed-point flags carry the varying-axis type, and
+    the coarse recursion stays in strip-local id space until the final
+    global-offset conversion). Seeds are strict component members and the
+    returned labels take min(own global id, mapped seed), so the global
+    fixed point — and therefore bit-identity with the single-device kernel —
+    is unchanged."""
+    h_local = mask.shape[0]
+    idx = (row0 * w
+           + jnp.arange(h_local * w, dtype=jnp.int32).reshape(h_local, w) + 1)
+    if h_local % 2 or w % 2 or min(h_local, w) < 64:
+        return jnp.where(mask, idx, big)
+    cm = mask.reshape(h_local // 2, 2, w // 2, 2).all(axis=(1, 3))
+    # label the coarse strip locally: seeded recursion + sweep fixed point
+    cbig = jnp.int32(cm.shape[0] * cm.shape[1] + 2)
+    clab = _local_seed_coarse(cm, cbig)
+    ci = (clab - 1) // (w // 2)
+    cj = (clab - 1) % (w // 2)
+    mapped = jnp.where(clab < cbig, (row0 + 2 * ci) * w + 2 * cj + 1, big)
+    seed = jnp.repeat(jnp.repeat(mapped, 2, axis=0), 2, axis=1)
+    return jnp.where(mask, jnp.minimum(idx, seed), big)
+
+
+def _local_seed_coarse(mask, big):
+    """Local-id CC used only for seeding: recursive coarsening + 4-sweep
+    fixed point (no jumps needed — seeds keep iteration counts small, and
+    the caller's fine loop has the jump backstop)."""
+    h, w = mask.shape
+    idx = (jnp.arange(h * w, dtype=jnp.int32).reshape(h, w) + 1)
+    if h % 2 == 0 and w % 2 == 0 and min(h, w) >= 64:
+        cm = mask.reshape(h // 2, 2, w // 2, 2).all(axis=(1, 3))
+        cbig = jnp.int32(cm.shape[0] * cm.shape[1] + 2)
+        clab = _local_seed_coarse(cm, cbig)
+        ci = (clab - 1) // (w // 2)
+        cj = (clab - 1) % (w // 2)
+        mapped = jnp.where(clab < cbig, (2 * ci) * w + 2 * cj + 1, big)
+        seed = jnp.repeat(jnp.repeat(mapped, 2, axis=0), 2, axis=1)
+        lab = jnp.where(mask, jnp.minimum(idx, seed), big)
+    else:
+        lab = jnp.where(mask, idx, big)
+
+    def cond(state):
+        return state[1]
+
+    def body(state):
+        lab, _ = state
+        new = lab
+        for _ in range(4):
+            new = jnp.where(mask, jnp.minimum(new, L._neighbor_min(new, big)),
+                            big)
+        return new, jnp.any(new != lab)
+
+    lab, _ = jax.lax.while_loop(cond, body, (lab, jnp.any(mask) | True))
+    return lab
+
+
 def _local_pass(lab, mask, big, row0, w):
-    """Local fixed-point: neighbor-min + pointer jumping inside the strip.
-    Labels are global ids; pointer jumping uses local gather on ids that
-    fall inside this strip (others pass through unchanged)."""
+    """Local fixed-point: shift sweeps + periodic pointer jumping inside the
+    strip (same cadence as the single-device kernel: 4 cheap sweeps per
+    iteration, a jump pair every 16th as the worst-case backstop). Labels
+    are global ids; pointer jumping uses local gather on ids that fall
+    inside this strip (others pass through unchanged)."""
     h_local = lab.shape[0]
     idx_local = (row0 * w
                  + jnp.arange(h_local * w, dtype=jnp.int32).reshape(h_local, w)
@@ -45,18 +104,23 @@ def _local_pass(lab, mask, big, row0, w):
         return jnp.where(mask, jnp.minimum(lab, jumped), big)
 
     def cond(state):
-        lab, changed = state
+        lab, changed, it = state
         return changed
 
     def body(state):
-        lab, _ = state
-        new = jnp.where(mask, jnp.minimum(lab, L._neighbor_min(lab, big)), big)
-        new = jump(jump(new))
-        return new, jnp.any(new != lab)
+        lab, _, it = state
+        new = lab
+        for _ in range(4):
+            new = jnp.where(mask, jnp.minimum(new, L._neighbor_min(new, big)),
+                            big)
+        new = jax.lax.cond(it % 16 == 15, lambda x: jump(jump(x)),
+                           lambda x: x, new)
+        return new, jnp.any(new != lab), it + 1
 
     # initial flag must carry the shard_map varying-axis type of the body's
     # output (data-dependent); `any(mask) | True` is a varying constant True
-    lab, _ = jax.lax.while_loop(cond, body, (lab, jnp.any(mask) | True))
+    lab, _, _ = jax.lax.while_loop(cond, body, (lab, jnp.any(mask) | True,
+                                                jnp.int32(0)))
     return lab
 
 
@@ -67,9 +131,7 @@ def _sharded_cc_kernel(mask, axis=AXIS):
     h_local, w = mask.shape
     big = jnp.int32(0x7FFFFFF0)
     row0 = d * h_local
-    idx = (row0 * w
-           + jnp.arange(h_local * w, dtype=jnp.int32).reshape(h_local, w) + 1)
-    lab = jnp.where(mask, idx, big)
+    lab = _local_seed(mask, row0, w, big)
 
     fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
     bwd = [(i, (i - 1) % n_dev) for i in range(n_dev)]
