@@ -132,6 +132,16 @@ def main() -> None:
     fwd_tps = timed(forward, ITERS)
     e2e_tps = timed(forward_postproc, max(3, ITERS // 2))
 
+    # condition probe: the shared tunneled chip swings 5-25x with external
+    # contention (CLAUDE.md); record matmul TF/s alongside the result so a
+    # low number is attributable (healthy v5e peak is ~197 TF bf16)
+    x = jnp.ones((4096, 4096), jnp.bfloat16)
+    mm = jax.jit(lambda a: a @ a)
+    np.asarray(mm(x))
+    t0 = time.perf_counter()
+    np.asarray(mm(x))
+    probe_tflops = 2 * 4096 ** 3 / (time.perf_counter() - t0) / 1e12
+
     print(json.dumps({
         "metric": "448^2 tiles/sec/chip (6-head forward+postproc to instance "
                   "label maps, bf16, batch 128)",
@@ -139,6 +149,7 @@ def main() -> None:
         "unit": "tiles/s",
         "vs_baseline": round(e2e_tps / EST_REFERENCE_TILES_PER_SEC, 2),
         "forward_only_tiles_per_sec": round(fwd_tps, 2),
+        "chip_condition_probe_tflops_bf16": round(probe_tflops, 1),
         "baseline": {
             "estimate_reference_gpu": EST_REFERENCE_TILES_PER_SEC,
             "measured_reference_torch_cpu_1core": MEASURED_TORCH_CPU_1CORE,
