@@ -33,15 +33,23 @@ _PALLAS_CC_MAX_PIXELS = 1_000_000
 
 def _cc(fg, impl: str):
     """Static dispatch: 'lax' while_loop CC, 'pallas' VMEM-resident kernel
-    (4.1x faster on v5e at 448^2, VMEM-bounded), 'pallas_interp' for CPU
-    testing."""
-    if impl == "pallas" and fg.shape[-1] * fg.shape[-2] > _PALLAS_CC_MAX_PIXELS:
-        impl = "lax"
+    (4.1x faster on v5e at 448^2) for canvases under the VMEM cap and the
+    blocked strip kernel (ops/pallas_cc_blocked.py) above it,
+    'pallas_interp' for CPU testing."""
+    big_canvas = fg.shape[-1] * fg.shape[-2] > _PALLAS_CC_MAX_PIXELS
     if impl == "pallas":
+        if big_canvas:
+            from .pallas_cc_blocked import cc_pallas_blocked
+
+            return cc_pallas_blocked(fg)
         from .pallas_cc import cc_pallas
 
         return cc_pallas(fg)
     if impl == "pallas_interp":
+        if big_canvas:
+            from .pallas_cc_blocked import cc_pallas_blocked
+
+            return cc_pallas_blocked(fg, interpret=True)
         from .pallas_cc import cc_pallas
 
         return cc_pallas(fg, interpret=True)

@@ -40,3 +40,49 @@ def test_pallas_cc_id_space_matches_lax():
     b = np.asarray(connected_components_pallas(jnp.asarray(mask),
                                                interpret=True))
     np.testing.assert_array_equal(a, b)  # exact same ids, not just isomorphic
+
+
+def test_blocked_cc_matches_scipy_interpret():
+    """Blocked strip kernel (pallas_cc_blocked): exact min-index ids across
+    strip boundaries, interpret mode."""
+    import numpy as np
+    import jax.numpy as jnp
+    from cerberus_tpu.ops import cc_cpu
+    from cerberus_tpu.ops.pallas_cc_blocked import (
+        connected_components_pallas_blocked as ccb,
+    )
+
+    r = np.random.default_rng(7)
+    yy, xx = np.ogrid[:384, :256]
+    mask = np.zeros((384, 256), bool)
+    for _ in range(40):
+        cy, cx = r.integers(10, 370), r.integers(10, 246)
+        rad = r.integers(4, 14)
+        mask |= (yy - cy) ** 2 + (xx - cx) ** 2 <= rad ** 2
+    got = np.asarray(ccb(jnp.asarray(mask), interpret=True))
+    ref, n = cc_cpu.label(mask)
+    pairs = set(zip(ref.ravel().tolist(), got.ravel().tolist()))
+    assert len(pairs) == len({p[0] for p in pairs}) == len({p[1] for p in pairs})
+    flat = np.arange(mask.size).reshape(mask.shape) + 1
+    for comp in range(1, n + 1):
+        sel = ref == comp
+        assert (got[sel] == flat[sel].min()).all()
+
+
+def test_blocked_cc_vertical_snake_across_strips():
+    """A single component threading every strip converges to one id."""
+    import numpy as np
+    import jax.numpy as jnp
+    from cerberus_tpu.ops import cc_cpu
+    from cerberus_tpu.ops.pallas_cc_blocked import (
+        connected_components_pallas_blocked as ccb,
+    )
+
+    snake = np.zeros((512, 128), bool)
+    snake[:, 0] = True
+    snake[-1, :] = True
+    snake[:, -1] = True
+    snake[0, 64:] = True
+    got = np.asarray(ccb(jnp.asarray(snake), interpret=True))
+    assert len(np.unique(got[snake])) == 1
+    assert (got[~snake] == 0).all()
