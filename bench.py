@@ -29,10 +29,23 @@ from cerberus_tpu.config import DEFAULT_DECODER_KWARGS, ModelConfig
 from cerberus_tpu.infer.steps import fused_infer_outputs
 from cerberus_tpu.models.net_desc import init_net_params
 
-BATCH = 128
-GRID = (8, 16)  # 128 tiles -> 1152 x 2304 canvas
+import os
+
+
+def _grid(batch: int) -> tuple:
+    """Largest divisor pair (gh, gw), gh <= gw, for the stitch canvas."""
+    gh = int(batch ** 0.5)
+    while batch % gh:
+        gh -= 1
+    return gh, batch // gh
+
+
+# batch sweep hooks (CLAUDE.md: 192/256 fit HBM with valid-region decoders;
+# sweep for the sweet spot when the tunnel is healthy)
+BATCH = int(os.environ.get("CERBERUS_BENCH_BATCH", "128"))
+GRID = _grid(BATCH)  # 128 tiles -> 1152 x 2304 canvas
 WARMUP = 2
-ITERS = 10
+ITERS = int(os.environ.get("CERBERUS_BENCH_ITERS", "10"))
 EST_REFERENCE_TILES_PER_SEC = 25.0
 MEASURED_TORCH_CPU_1CORE = 0.13
 
@@ -45,7 +58,7 @@ def _watchdog(seconds: int = 480) -> None:
     def on_alarm(_sig, _frame):
         print(json.dumps({
             "metric": "448^2 tiles/sec/chip (6-head forward+postproc, bf16, "
-                      "batch 128)",
+                      f"batch {BATCH})",
             "value": 0.0,
             "unit": "tiles/s",
             "vs_baseline": 0.0,
@@ -132,6 +145,18 @@ def main() -> None:
     fwd_tps = timed(forward, ITERS)
     e2e_tps = timed(forward_postproc, max(3, ITERS // 2))
 
+    # MFU: exact model FLOPs from XLA's cost analysis of the compiled
+    # forward (falls back to the documented estimate if the backend
+    # doesn't expose it — CLAUDE.md: ~90-100 GFLOP/tile valid-region)
+    try:
+        cost = forward.lower(params, imgs).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops_per_tile = float(cost["flops"]) / BATCH
+    except Exception:
+        flops_per_tile = 95e9
+    achieved_tflops = fwd_tps * flops_per_tile / 1e12
+
     # condition probe: the shared tunneled chip swings 5-25x with external
     # contention (CLAUDE.md); record matmul TF/s alongside the result so a
     # low number is attributable (healthy v5e peak is ~197 TF bf16)
@@ -144,12 +169,20 @@ def main() -> None:
 
     print(json.dumps({
         "metric": "448^2 tiles/sec/chip (6-head forward+postproc to instance "
-                  "label maps, bf16, batch 128)",
+                  f"label maps, bf16, batch {BATCH})",
         "value": round(e2e_tps, 2),
         "unit": "tiles/s",
         "vs_baseline": round(e2e_tps / EST_REFERENCE_TILES_PER_SEC, 2),
         "forward_only_tiles_per_sec": round(fwd_tps, 2),
         "chip_condition_probe_tflops_bf16": round(probe_tflops, 1),
+        # MFU stated two ways: against v5e peak (197 TF bf16) and against
+        # what the shared tunneled chip can actually deliver RIGHT NOW
+        # (the matmul probe) — a low headline with high mfu_vs_probe means
+        # the gap is the tunnel, not this framework
+        "model_gflops_per_tile": round(flops_per_tile / 1e9, 1),
+        "achieved_tflops_forward": round(achieved_tflops, 2),
+        "mfu_vs_v5e_peak": round(achieved_tflops / 197.0, 3),
+        "mfu_vs_probe": round(achieved_tflops / max(probe_tflops, 1e-9), 3),
         "baseline": {
             "estimate_reference_gpu": EST_REFERENCE_TILES_PER_SEC,
             "measured_reference_torch_cpu_1core": MEASURED_TORCH_CPU_1CORE,
