@@ -114,6 +114,11 @@ def _one_pass(mask_p, lab, direction: int, n_strips: int, w: int,
         out_shape=[jax.ShapeDtypeStruct(mask_p.shape, jnp.int32),
                    jax.ShapeDtypeStruct((1, 1), jnp.int32)],
         scratch_shapes=[pltpu.VMEM((1, w), jnp.int32)],
+        # write labels back into the input buffer: halves the HBM traffic
+        # allocation per pass and lets XLA chain passes without copies
+        # (safe: each grid step reads only its own block; the cross-strip
+        # carry travels through VMEM scratch, never through the buffer)
+        input_output_aliases={1: 0},
         interpret=interpret,
     )(mask_p, lab)
     return lab_out, changed[0, 0] > 0
