@@ -111,12 +111,14 @@ def upsample2x_bilinear(x):
     the VPU) instead of the gather chains ``jax.image.resize`` emits — this
     runs at every decoder level of every head, so it must fuse cleanly.
     Border outputs clamp to the edge pixel via replicate padding.
+
+    Computes in the input dtype: the 0.25/0.75 half-pixel weights are exact
+    in bfloat16, and the op is bandwidth-bound — upcasting bf16 activations
+    to f32 (as before round 2) doubled its HBM bytes for ~2 extra mantissa
+    bits on an interpolation.
     """
-    dtype = x.dtype
-    x = x.astype(jnp.float32)
     x = _upsample2x_axis(x, 1)
-    x = _upsample2x_axis(x, 2)
-    return x.astype(dtype)
+    return _upsample2x_axis(x, 2)
 
 
 def global_avg_pool(x):
