@@ -114,6 +114,38 @@ def save_train_state(path: str, params: Dict, opt_state=None,
     os.replace(tmp, path)
 
 
+_ckpt_pool = None  # single worker: writes stay ordered
+_ckpt_futures = []
+
+
+def save_train_state_async(path: str, params: Dict, opt_state=None,
+                           step: int = 0):
+    """Non-blocking checkpoint write: the caller thread pays only the D2H
+    snapshot (required — the next train step may donate and reuse these
+    buffers); msgpack encode + disk write happen on a background thread.
+    ``flush_pending_saves()`` joins outstanding writes and re-raises the
+    first failure (call it at engine COMPLETED / process exit)."""
+    global _ckpt_pool
+    import jax
+
+    params = jax.device_get(params)
+    opt_state = jax.device_get(opt_state) if opt_state is not None else None
+    if _ckpt_pool is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _ckpt_pool = ThreadPoolExecutor(1, thread_name_prefix="ckpt_writer")
+    fut = _ckpt_pool.submit(save_train_state, path, params, opt_state, step)
+    _ckpt_futures.append(fut)
+    return fut
+
+
+def flush_pending_saves() -> None:
+    """Wait for all in-flight async checkpoint writes; raise on failure."""
+    pending, _ckpt_futures[:] = _ckpt_futures[:], []
+    for fut in pending:
+        fut.result()
+
+
 def load_train_state(path: str, opt_state_template=None):
     """Returns (params, opt_state_or_None, step). Pass the freshly-built
     optimizer state as ``opt_state_template`` to restore its exact pytree

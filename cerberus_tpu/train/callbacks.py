@@ -110,10 +110,12 @@ class PeriodicSaver(BaseCallbacks):
         for net_name, net in state.run_info.items():
             # full payload like the reference ({desc, optimizer, scheduler},
             # run_utils/callbacks/base.py:122-128); still loadable as a
-            # params-only checkpoint through load_checkpoint
-            from ..models.convert import save_train_state
+            # params-only checkpoint through load_checkpoint. Async: the
+            # step loop pays only the D2H snapshot; encode+write overlap
+            # the following steps (RunEngine.run flushes before returning)
+            from ..models.convert import save_train_state_async
 
-            save_train_state(
+            save_train_state_async(
                 "%s/%s_%s.tar" % (state.log_dir, net_name, tracker),
                 net.state.params, net.state.opt_state,
                 step=int(net.state.step))

@@ -162,3 +162,8 @@ class RunEngine:
             self.state.run_accumulated_output.append(
                 self.state.epoch_accumulated_output)
         self._trigger_events(Events.COMPLETED)
+        # join async checkpoint writes (PeriodicSaver): when run() returns,
+        # every checkpoint it scheduled is durable on disk
+        from ..models.convert import flush_pending_saves
+
+        flush_pending_saves()

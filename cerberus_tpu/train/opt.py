@@ -230,5 +230,12 @@ def run_training(config: Dict, train_loaders: Dict, valid_loaders: Dict,
         pretrained_params, best_metric=best_metric, mesh=mesh, remat=remat,
         compute_dtype=compute_dtype)
     nr_epochs = config["phase_list"][0]["nr_epochs"]
-    train_engine.run(nr_epoch=nr_epochs)
+    try:
+        train_engine.run(nr_epoch=nr_epochs)
+    finally:
+        # an exception mid-run must not orphan in-flight async checkpoint
+        # writes (RunEngine.run flushes only on clean completion)
+        from ..models.convert import flush_pending_saves
+
+        flush_pending_saves()
     return net

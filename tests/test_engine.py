@@ -198,3 +198,31 @@ def init_params_tiny():
     from cerberus_tpu.models.net_desc import init_net_params
 
     return init_net_params(jax.random.PRNGKey(0), CFG)
+
+
+def test_async_saver_flush_and_error_propagation(tmp_path):
+    """save_train_state_async: writes are durable after flush and loadable;
+    a failing write raises at flush_pending_saves, not silently."""
+    import pytest
+
+    from cerberus_tpu.models.convert import (
+        flush_pending_saves,
+        load_train_state,
+        save_train_state_async,
+    )
+
+    params = init_params_tiny()
+    path = str(tmp_path / "ck.tar")
+    for step in (1, 2, 3):  # same path: single-worker pool keeps order
+        save_train_state_async(path, params, None, step=step)
+    flush_pending_saves()
+    got, _opt, step = load_train_state(path)
+    assert step == 3
+    np.testing.assert_array_equal(
+        np.asarray(got["backbone.conv1"]["kernel"]),
+        np.asarray(params["backbone.conv1"]["kernel"]))
+
+    save_train_state_async(str(tmp_path / "no_dir" / "x.tar"), params)
+    with pytest.raises(FileNotFoundError):
+        flush_pending_saves()
+    flush_pending_saves()  # queue drained: idempotent after the raise
