@@ -85,8 +85,11 @@ def make_sharded_train_step(cfg: ModelConfig, mesh: Mesh, loss_kwargs=None,
     """
     from ..train.steps import TrainState, make_train_step
 
+    # donate as on the single-device path: in/out states share shardings,
+    # and callbacks consume state N before step N+1 invalidates it, so the
+    # params+moments buffers update in place instead of double-buffering
     train_step, tx = make_train_step(cfg, loss_kwargs, optimizer_kwargs,
-                                     compute_dtype, donate=False)
+                                     compute_dtype, donate=True)
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(DATA_AXIS))
 
