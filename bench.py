@@ -145,6 +145,35 @@ def main() -> None:
     fwd_tps = timed(forward, ITERS)
     e2e_tps = timed(forward_postproc, max(3, ITERS // 2))
 
+    # dense inference mode (CERBERUS_BENCH_DENSE=1): 1168^2 windows with an
+    # 864^2 kept core — same 152 px margin as 448->144 but ~3x fewer FLOPs
+    # per output pixel (tests/test_dense_infer.py). Reported in 448^2-tile
+    # EQUIVALENTS (labeled output px / 144^2) for comparability.
+    dense = None
+    if os.environ.get("CERBERUS_BENCH_DENSE") == "1":
+        d_batch, d_in, d_out = 4, 1168, 864
+        d_base = rng.random((d_batch, d_in // 8, d_in // 8, 3))
+        d_imgs = jax.device_put(np.clip(np.kron(
+            d_base, np.ones((1, 8, 8, 1))) * 255, 0, 255).astype(np.uint8))
+
+        @jax.jit
+        def forward_dense(p, x):
+            return fused_infer_outputs(p, x, cfg, output_shape=d_out,
+                                       compute_dtype=jnp.bfloat16,
+                                       out_dtype=jnp.float16)
+
+        for _ in range(WARMUP):
+            jax.tree.map(np.asarray, forward_dense(params, d_imgs))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(max(2, ITERS // 2)):
+                jax.tree.map(np.asarray, forward_dense(params, d_imgs))
+            best = min(best, time.perf_counter() - t0)
+        px_per_sec = d_batch * max(2, ITERS // 2) * d_out * d_out / best
+        dense = {"geometry": f"{d_in}->{d_out}", "batch": d_batch,
+                 "tiles448_equiv_per_sec": round(px_per_sec / 144 ** 2, 2)}
+
     # MFU: exact model FLOPs from XLA's cost analysis of the compiled
     # forward (falls back to the documented estimate if the backend
     # doesn't expose it — CLAUDE.md: ~90-100 GFLOP/tile valid-region)
@@ -175,6 +204,7 @@ def main() -> None:
         "vs_baseline": round(e2e_tps / EST_REFERENCE_TILES_PER_SEC, 2),
         "forward_only_tiles_per_sec": round(fwd_tps, 2),
         "chip_condition_probe_tflops_bf16": round(probe_tflops, 1),
+        **({"dense_mode_forward": dense} if dense else {}),
         # MFU stated two ways: against v5e peak (197 TF bf16) and against
         # what the shared tunneled chip can actually deliver RIGHT NOW
         # (the matmul probe) — a low headline with high mfu_vs_probe means
