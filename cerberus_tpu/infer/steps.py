@@ -80,10 +80,19 @@ def fused_infer_outputs(params, imgs, cfg: ModelConfig, output_shape: int,
         from ..models.valid_decode import supports_valid_region
 
         plan = supports_valid_region(cfg, int(imgs.shape[1]), output_shape)
+    # dense inference windows (margin-304 family, output a multiple of 144):
+    # keep the reference's per-144² Patch-Class granularity via the strided
+    # grid head (net_desc.patch_class_head_grid) instead of one class per
+    # dense window
+    pclass_cells = 1
+    if (plan is not None and output_shape % 144 == 0
+            and int(imgs.shape[1]) - output_shape == 304):
+        pclass_cells = output_shape // 144
     if plan is not None:
         from ..models.valid_decode import valid_head_outputs
 
-        pred_dict = valid_head_outputs(params, imgs, cfg, plan, compute_dtype)
+        pred_dict = valid_head_outputs(params, imgs, cfg, plan, compute_dtype,
+                                       pclass_cells)
     else:
         pred_dict = model_head_outputs(params, imgs, cfg, compute_dtype,
                                        fused, head_specs)
@@ -95,11 +104,13 @@ def fused_infer_outputs(params, imgs, cfg: ModelConfig, output_shape: int,
     for head_code, _slc in idx_dict.items():
         out = pred_dict[head_code].astype(jnp.float32)
         if head_code == "Patch-Class":
-            cls = jnp.argmax(jax.nn.softmax(out, axis=-1), axis=-1)  # (N,1,1)
-            chunk = jnp.broadcast_to(
-                cls[:, :, :, None].astype(jnp.float32),
-                (out.shape[0], output_shape, output_shape, 1),
-            )
+            cls = jnp.argmax(jax.nn.softmax(out, axis=-1), axis=-1)
+            # (N, cells, cells) -> each cell broadcast over its block
+            # (cells=1 reproduces the reference's constant-per-patch map)
+            cell_px = output_shape // cls.shape[1]
+            chunk = jnp.repeat(jnp.repeat(cls, cell_px, axis=1),
+                               cell_px, axis=2)[..., None]
+            chunk = chunk.astype(jnp.float32)
         elif head_code.endswith("-INST"):
             prob = jax.nn.softmax(out, axis=-1)[..., 1:]
             chunk = center_crop(prob, output_shape, output_shape)

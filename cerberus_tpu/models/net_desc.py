@@ -210,6 +210,10 @@ def _patch_class_head(params, bottom_feats, bn_sink, dropout_rng):
     if feat_h != 9 and feat_w != 9:
         bottom_feats = center_crop(bottom_feats, 9, 9)
     x = global_avg_pool(bottom_feats)
+    return _patch_class_mlp(params, x, bn_sink, dropout_rng)
+
+
+def _patch_class_mlp(params, x, bn_sink, dropout_rng):
     base = "decoder_head.Patch-Class"
     x = relu(apply_bn(params, f"{base}.bn1", x, bn_sink))
     if dropout_rng is not None:
@@ -217,6 +221,26 @@ def _patch_class_head(params, bottom_feats, bn_sink, dropout_rng):
     x = conv2d(params[f"{base}.conv1"], x, padding=0)
     x = relu(apply_bn(params, f"{base}.bn2", x, bn_sink))
     return conv2d(params[f"{base}.conv2"], x, padding=0)
+
+
+def patch_class_head_grid(params, bottom_feats, n_cells: int):
+    """Per-144²-cell tissue classification for dense inference windows.
+
+    For margin-304 geometries (input = 144·n + 304), the 448-window the
+    reference would center on output cell k has bottom features at dense
+    bottom indices [9k, 9k+28), and its center-9² crop (net_desc.py:64-76,
+    crop start int((28-9)/2) = 9) is exactly dense bottom [9k+9, 9k+18) —
+    so a 9×9/stride-9 average pool over bottom[9 : 9+9n] reproduces the
+    reference's per-window GAP feature for every cell. n_cells=1 is the
+    windowed 448->144 case itself (identical values to the center crop).
+
+    Returns (N, n, n, n_classes) logits (inference only: eval-mode BN).
+    """
+    x = bottom_feats[:, 9:9 + 9 * n_cells, 9:9 + 9 * n_cells, :]
+    x = jax.lax.reduce_window(
+        x, jnp.zeros((), x.dtype), jax.lax.add,
+        (1, 9, 9, 1), (1, 9, 9, 1), "VALID") / jnp.asarray(81, x.dtype)
+    return _patch_class_mlp(params, x, None, None)
 
 
 def subtype_frozen_prefixes(cfg: ModelConfig):

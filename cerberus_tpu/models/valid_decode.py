@@ -117,14 +117,17 @@ def valid_decoder_tower(params, decoder_name: str, bottom, skips,
 
 
 def valid_head_outputs(params, imgs, cfg: ModelConfig, plan: ValidPlan,
-                       compute_dtype=jnp.bfloat16) -> Dict[str, jnp.ndarray]:
+                       compute_dtype=jnp.bfloat16,
+                       pclass_cells: int = 1) -> Dict[str, jnp.ndarray]:
     """Full encoder + valid-region towers + 1x1 heads.
 
     Returns {head_code: (N, out, out, C) logits} for segmentation heads and
-    (N, 1, 1, C) for Patch-Class — segmentation outputs already ARE the
-    central ``plan.out_size`` window (no further crop needed).
+    (N, cells, cells, C) for Patch-Class (cells=1 unless dense inference
+    restores the per-144² granularity, net_desc.patch_class_head_grid) —
+    segmentation outputs already ARE the central ``plan.out_size`` window
+    (no further crop needed).
     """
-    from .net_desc import _patch_class_head
+    from .net_desc import _patch_class_head, patch_class_head_grid
 
     _init, backbone_fwd, _filters = get_backbone(cfg.encoder_backbone_name)
     x = imgs.astype(compute_dtype) / jnp.asarray(255.0, compute_dtype)
@@ -144,8 +147,10 @@ def valid_head_outputs(params, imgs, cfg: ModelConfig, plan: ValidPlan,
         if decoder_name not in cfg.considered_tasks:
             continue
         if decoder_name == "Patch-Class":
-            output_dict["Patch-Class"] = _patch_class_head(
-                params, bottom_feats, None, None)
+            output_dict["Patch-Class"] = (
+                patch_class_head_grid(params, bottom_feats, pclass_cells)
+                if pclass_cells > 1
+                else _patch_class_head(params, bottom_feats, None, None))
             continue
         prev = valid_decoder_tower(params, decoder_name, bottom, skips, plan)
         for head_name, _out_ch in heads:

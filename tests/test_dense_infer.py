@@ -116,3 +116,55 @@ def test_dense_mode_matches_windowed(model_dir, tmp_path):
     # over 144^2 blocks where windowed uses 48^2 (documented divergence)
     assert pa.shape == pb.shape
     assert set(np.unique(pb)) <= set(range(9))
+
+
+def test_patch_class_grid_head_matches_per_window_crops():
+    """patch_class_head_grid cell k == _patch_class_head on the 28² bottom
+    window [9k, 9k+28) — the exact windowed-reference geometry, feature-
+    for-feature (no padding-context confound: same bottom tensor)."""
+    from cerberus_tpu.models.net_desc import (
+        _patch_class_head,
+        patch_class_head_grid,
+        init_net_params,
+    )
+
+    cfg = ModelConfig.from_kwargs(MODEL_KWARGS)
+    params = init_net_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    n = 3  # 3x3 cells: bottom = 9*3+19 = 46
+    bottom = rng.normal(size=(2, 46, 46, 512)).astype(np.float32)
+
+    grid = np.asarray(patch_class_head_grid(params, bottom, n))
+    assert grid.shape == (2, n, n, 9)
+    for ky in range(n):
+        for kx in range(n):
+            win = bottom[:, 9 * ky:9 * ky + 28, 9 * kx:9 * kx + 28, :]
+            ref = np.asarray(_patch_class_head(params, win, None, None))
+            np.testing.assert_allclose(grid[:, ky, kx], ref[:, 0, 0],
+                                       rtol=2e-5, atol=2e-5)
+
+
+def test_dense_pclass_has_per_cell_granularity():
+    """Margin-304 dense windows emit a 144²-blockwise Patch-Class map."""
+    from cerberus_tpu.infer.steps import fused_infer_outputs
+    from cerberus_tpu.data.patching import make_channel_index_map
+    from cerberus_tpu.models.net_desc import init_net_params
+    import jax.numpy as jnp
+
+    cfg = ModelConfig.from_kwargs(MODEL_KWARGS)
+    params = init_net_params(jax.random.PRNGKey(1), cfg)
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 255, (1, 592, 592, 3)).astype(np.uint8)
+    out = np.asarray(jax.jit(
+        lambda p, x: fused_infer_outputs(p, x, cfg, output_shape=288,
+                                         compute_dtype=jnp.float32)
+    )(params, img))
+    idx, _ = make_channel_index_map(cfg.active_decoder_kwargs)
+    s, _e = idx["Patch-Class"]
+    pc = out[0, :, :, s]
+    # constant within each 144² cell
+    for cy in range(2):
+        for cx in range(2):
+            cell = pc[cy * 144:(cy + 1) * 144, cx * 144:(cx + 1) * 144]
+            assert len(np.unique(cell)) == 1
+    assert set(np.unique(pc)) <= set(float(v) for v in range(9))
