@@ -8,8 +8,10 @@ random checkpoint whose INST heads produce real instances (same recipe as
 reports the per-phase wall-clock the pipeline logs per slide (the
 reference's phase spans, infer/wsi.py:582-856).
 
-Usage: python tools/bench_wsi.py [--size=N] [--tissue=F] [--keep]
+Usage: python tools/bench_wsi.py [--size=N] [--tissue=F] [--keep] [--dense]
 Prints ONE JSON line with per-phase seconds and the <=300 s target.
+--dense runs the 1168->864 dense-window geometry (~3x fewer FLOPs per
+slide pixel, PARITY.md) instead of the reference's 448->144.
 """
 from __future__ import annotations
 
@@ -140,6 +142,7 @@ def main() -> None:
     size = 49152
     tissue = 0.2
     keep = False
+    dense = False
     for arg in sys.argv[1:]:
         if arg.startswith("--size="):
             size = int(arg.split("=")[1])
@@ -147,6 +150,8 @@ def main() -> None:
             tissue = float(arg.split("=")[1])
         elif arg == "--keep":
             keep = True
+        elif arg == "--dense":
+            dense = True
 
     root = tempfile.mkdtemp(prefix="cerberus_wsi_bench_")
     try:
@@ -164,11 +169,12 @@ def main() -> None:
             f"--msk_dir={msk_dir}/",
             f"--cache_path={os.path.join(root, 'cache')}",
             f"--logging_dir={os.path.join(root, 'logging')}",
-            "--batch_size=128",
+            "--batch_size=16" if dense else "--batch_size=128",
             "--nr_inference_workers=8",
             "--nr_post_proc_workers=0",
             "--postproc_backend=tpu",
-        ]
+        ] + (["--patch_input_shape=1168", "--patch_output_shape=864"]
+             if dense else [])
         t0 = time.perf_counter()
         proc = subprocess.run(cmd, capture_output=True, text=True,
                               cwd=REPO, timeout=3600)
@@ -195,7 +201,9 @@ def main() -> None:
                   if k in dat}
         print(json.dumps({
             "metric": "synthetic 40x WSI end-to-end (masked, %dk^2 base, "
-                      "%.0f%% tissue)" % (size // 1024, 100 * frac),
+                      "%.0f%% tissue%s)" % (size // 1024, 100 * frac,
+                                            ", dense 1168->864" if dense
+                                            else ""),
             "value": phases.get("overall_s", round(wall_s, 2)),
             "unit": "s",
             "target_s": 300,
