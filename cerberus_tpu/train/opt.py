@@ -225,17 +225,44 @@ def run_training(config: Dict, train_loaders: Dict, valid_loaders: Dict,
                  log_dir: Optional[str] = None, seed: int = 0,
                  pretrained_params=None, best_metric=None, mesh=None,
                  remat: bool = False, compute_dtype=None):
-    train_engine, _infer_engine, net = build_trainer(
-        config, train_loaders, valid_loaders, log_dir, seed,
-        pretrained_params, best_metric=best_metric, mesh=mesh, remat=remat,
-        compute_dtype=compute_dtype)
-    nr_epochs = config["phase_list"][0]["nr_epochs"]
-    try:
-        train_engine.run(nr_epoch=nr_epochs)
-    finally:
-        # an exception mid-run must not orphan in-flight async checkpoint
-        # writes (RunEngine.run flushes only on clean completion)
-        from ..models.convert import flush_pending_saves
+    """Run every phase of ``config["phase_list"]`` sequentially.
 
-        flush_pending_saves()
+    The reference's schema runs phases "sequentially from index 0 to N"
+    with ``pretrained: -1`` meaning "auto load checkpoint from previous
+    phase" and ``None`` meaning "start from scratch"
+    (``models/opt.py:39-41,66-68`` — schema only; the reference ships no
+    launcher, so the multi-phase runner itself is defined here). With more
+    than one phase, each phase checkpoints/logs under ``<log_dir>/<idx>``.
+    Returns the final phase's net holder."""
+    import os as _os
+
+    phases = config["phase_list"]
+    carry = pretrained_params
+    net = None
+    for idx, phase in enumerate(phases):
+        spec = phase["run_info"]["net"].get("pretrained", -1 if idx else None)
+        if isinstance(spec, str):  # explicit checkpoint path
+            from ..models.convert import load_checkpoint
+
+            pre = load_checkpoint(spec)
+        else:
+            pre = carry if (idx == 0 or spec == -1) else None
+        phase_dir = (log_dir if len(phases) == 1 or log_dir is None
+                     else _os.path.join(log_dir, "%02d" % idx))
+        if phase_dir and not _os.path.isdir(phase_dir):
+            _os.makedirs(phase_dir, exist_ok=True)
+        train_engine, _infer_engine, net = build_trainer(
+            dict(config, phase_list=[phase]), train_loaders, valid_loaders,
+            phase_dir, seed, pre, best_metric=best_metric, mesh=mesh,
+            remat=remat, compute_dtype=compute_dtype)
+        try:
+            train_engine.run(nr_epoch=phase["nr_epochs"])
+        finally:
+            # an exception mid-run must not orphan in-flight async
+            # checkpoint writes (RunEngine.run flushes only on clean
+            # completion)
+            from ..models.convert import flush_pending_saves
+
+            flush_pending_saves()
+        carry = net.state.params
     return net

@@ -226,3 +226,32 @@ def test_async_saver_flush_and_error_propagation(tmp_path):
     with pytest.raises(FileNotFoundError):
         flush_pending_saves()
     flush_pending_saves()  # queue drained: idempotent after the raise
+
+
+def test_multi_phase_training_chains_params(tmp_path):
+    """phase_list with two phases: phase 1 (pretrained=-1) starts from
+    phase 0's final params; each phase logs under <log_dir>/<idx>
+    (reference models/opt.py:39-41,66-68 schema; runner defined here)."""
+    from cerberus_tpu.train.opt import get_config, run_training
+
+    log_dir = str(tmp_path / "logs")
+    os.makedirs(log_dir)
+    config = get_config(MODEL_KWARGS, LOSS_KWARGS, nr_epochs=1,
+                        per_n_steps=1)
+    p0 = dict(config["phase_list"][0])
+    p1 = {"run_info": {"net": dict(p0["run_info"]["net"], pretrained=-1)},
+          "nr_epochs": 1}
+    config["phase_list"] = [p0, p1]
+
+    net = run_training(config, {"train": FakeLoader(2)},
+                       {"valid": FakeLoader(1, seed=9)}, log_dir=log_dir)
+    # both phases stepped: 2 batches each, phase 1 resumed phase 0's params
+    # (fresh optimizer/step per phase, like a new engine run)
+    assert int(net.state.step) == 2
+    assert os.path.isdir(os.path.join(log_dir, "00"))
+    assert os.path.isdir(os.path.join(log_dir, "01"))
+    ck0 = [f for f in os.listdir(os.path.join(log_dir, "00"))
+           if f.endswith(".tar")]
+    ck1 = [f for f in os.listdir(os.path.join(log_dir, "01"))
+           if f.endswith(".tar")]
+    assert ck0 and ck1
