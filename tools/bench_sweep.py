@@ -40,6 +40,20 @@ def main() -> None:
         best = max(scored, key=lambda r: r["value"])
         print(json.dumps({"metric": "batch sweep best", "batch": best["batch"],
                           "value": best["value"], "unit": "tiles/s"}))
+        # one more run at the winning batch with the dense-mode forward
+        # measurement enabled (1168->864 windows, 448-tile equivalents)
+        env = dict(os.environ, CERBERUS_BENCH_BATCH=str(best["batch"]),
+                   CERBERUS_BENCH_DENSE="1")
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            capture_output=True, text=True, cwd=REPO, env=env, timeout=1800)
+        line = proc.stdout.strip().splitlines()[-1] if proc.stdout else ""
+        try:
+            print(json.dumps({"metric": "dense-mode run",
+                              **json.loads(line)}))
+        except json.JSONDecodeError:
+            print(json.dumps({"metric": "dense-mode run",
+                              "error": proc.stderr[-500:]}))
 
 
 if __name__ == "__main__":
