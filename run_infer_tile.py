@@ -4,7 +4,7 @@ Usage:
   run_infer_tile.py [--gpu=<id>] [--model=<path>] [--nr_inference_workers=<n>] \
             [--nr_post_proc_workers=<n>] [--batch_size=<n>] [--input_dir=<path>] \
             [--output_dir=<path>] [--patch_input_shape=<n>] [--patch_output_shape=<n>] \
-            [--postproc_backend=<str>] [--tile_backend=<str>]
+            [--postproc_backend=<str>] [--tile_backend=<str>] [--dense]
   run_infer_tile.py (-h | --help)
   run_infer_tile.py --version
 
@@ -20,6 +20,7 @@ Options:
   --output_dir=<path>         Path to output data directory. Will create automtically if doesn't exist. [default: output/]
   --patch_input_shape=<n>     Shape of input patch to the network- Assume square shape. [default: 448]
   --patch_output_shape=<n>    Shape of network output- Assume square shape. [default: 144]
+  --dense                     Dense inference: 1168->864 windows (~3x fewer FLOPs per output px at the same 152 px margin; PARITY.md). Overrides the patch shape flags
   --postproc_backend=<str>    Instance post-processing backend: cpu (scipy/cv2 oracle) or tpu (on-chip lax/Pallas kernels). [default: cpu]
   --tile_backend=<str>        Tile engine: host (gather + stitch on host) or fused (forward + canvas scatter as one on-device program). [default: host]
 
@@ -57,8 +58,10 @@ if __name__ == "__main__":
         "batch_size": int(args["--batch_size"]),
         "input_dir": input_dir,
         "output_dir": output_dir,
-        "patch_input_shape": int(args["--patch_input_shape"]),
-        "patch_output_shape": int(args["--patch_output_shape"]),
+        "patch_input_shape": 1168 if args["--dense"]
+        else int(args["--patch_input_shape"]),
+        "patch_output_shape": 864 if args["--dense"]
+        else int(args["--patch_output_shape"]),
         "patch_output_overlap": 0,
         "postproc_list": list(DEFAULT_TARGET_LIST),
         "postproc_backend": args["--postproc_backend"],

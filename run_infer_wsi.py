@@ -6,7 +6,7 @@ Usage:
             [--ambiguous_size=<int>] [--wsi_proc_mag=<n>] [--wsi_file_ext=<str>] [--cache_path=<path>] \
             [--logging_dir=<path>] [--input_dir=<path>] [--msk_dir=<path>] [--output_dir=<path>] [--patch_input_shape=<n>] \
             [--patch_output_shape=<n>] [--wsi_bulk_idx=<n>] [--wsi_proc_step=<n>] [--save_thumb] [--save_mask] [--auto_mask] \
-            [--postproc_backend=<str>] [--save_json]
+            [--postproc_backend=<str>] [--save_json] [--dense]
   run_infer_wsi.py (-h | --help)
   run_infer_wsi.py --version
 
@@ -30,6 +30,7 @@ Options:
   --output_dir=<path>         Path to output data directory. Will create automtically if doesn't exist. [default: output/]
   --patch_input_shape=<n>     Shape of input patch to the network- Assume square shape. [default: 448]
   --patch_output_shape=<n>    Shape of network output- Assume square shape. [default: 144]
+  --dense                     Dense inference: 1168->864 windows (~3x fewer FLOPs per output px at the same 152 px margin; PARITY.md). Overrides the patch shape flags
   --wsi_bulk_idx=<n>          Index for batch processing. Indexing is from 0 to n-1. [default: 1]
   --wsi_proc_step=<n>         Increments for batch WSI processing. [default: 10]
   --save_thumb                Whether to save the slide thumbnail
@@ -107,8 +108,10 @@ if __name__ == "__main__":
         "input_list": wsi_list,
         "mask_list": mask_list,
         "output_dir": output_dir,
-        "patch_input_shape": int(args["--patch_input_shape"]),
-        "patch_output_shape": int(args["--patch_output_shape"]),
+        "patch_input_shape": 1168 if args["--dense"]
+        else int(args["--patch_input_shape"]),
+        "patch_output_shape": 864 if args["--dense"]
+        else int(args["--patch_output_shape"]),
         "save_thumb": bool(args["--save_thumb"]),
         "save_mask": bool(args["--save_mask"]),
         "mask_dir": args["--msk_dir"],
