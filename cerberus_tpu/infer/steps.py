@@ -33,18 +33,21 @@ from ..models.net_desc import net_forward
 
 def model_head_outputs(params, imgs, cfg: ModelConfig,
                        compute_dtype=jnp.bfloat16, fused=None,
-                       head_specs=None) -> Dict[str, jnp.ndarray]:
+                       head_specs=None,
+                       pclass_cells: int = 1) -> Dict[str, jnp.ndarray]:
     """Forward through encoder + decoder bank (+ classifier).
 
     With ``fused``/``head_specs`` given (models/fused_decoder.py), the five
     segmentation towers run as one grouped-conv bank; otherwise the
-    sequential reference-shaped path runs. Outputs are identical."""
+    sequential reference-shaped path runs. Outputs are identical.
+    ``pclass_cells > 1``: dense-window per-144² Patch-Class grid."""
     if fused is None:
-        return net_forward(params, imgs, cfg, compute_dtype=compute_dtype)
+        return net_forward(params, imgs, cfg, compute_dtype=compute_dtype,
+                           pclass_cells=pclass_cells)
     from ..models.backbones import get_backbone
     from ..models.fused_decoder import fused_decoder_forward
     from ..models.layers import conv2d
-    from ..models.net_desc import _patch_class_head
+    from ..models.net_desc import pclass_for_cells
 
     _, backbone_fwd, _ = get_backbone(cfg.encoder_backbone_name)
     x = imgs.astype(compute_dtype) / jnp.asarray(255.0, compute_dtype)
@@ -54,7 +57,7 @@ def model_head_outputs(params, imgs, cfg: ModelConfig,
                                          padding=0)]
     out = fused_decoder_forward(fused, head_specs, feat_list, compute_dtype)
     if "Patch-Class" in cfg.considered_tasks:
-        out["Patch-Class"] = _patch_class_head(params, bottom, None, None)
+        out["Patch-Class"] = pclass_for_cells(params, bottom, pclass_cells)
     return out
 
 
@@ -83,10 +86,11 @@ def fused_infer_outputs(params, imgs, cfg: ModelConfig, output_shape: int,
     # dense inference windows (margin-304 family, output a multiple of 144):
     # keep the reference's per-144² Patch-Class granularity via the strided
     # grid head (net_desc.patch_class_head_grid) instead of one class per
-    # dense window
+    # dense window — on EVERY forward path (valid-region, full towers,
+    # fused bank), so CERBERUS_VALID_REGION=0 doesn't change the output
+    # structure
     pclass_cells = 1
-    if (plan is not None and output_shape % 144 == 0
-            and int(imgs.shape[1]) - output_shape == 304):
+    if output_shape % 144 == 0 and int(imgs.shape[1]) - output_shape == 304:
         pclass_cells = output_shape // 144
     if plan is not None:
         from ..models.valid_decode import valid_head_outputs
@@ -95,7 +99,7 @@ def fused_infer_outputs(params, imgs, cfg: ModelConfig, output_shape: int,
                                        pclass_cells)
     else:
         pred_dict = model_head_outputs(params, imgs, cfg, compute_dtype,
-                                       fused, head_specs)
+                                       fused, head_specs, pclass_cells)
     # only considered tasks contribute canvas channels (partial-task
     # checkpoints, e.g. nuclei-only configs)
     idx_dict, _n_ch = make_channel_index_map(cfg.active_decoder_kwargs)

@@ -140,10 +140,19 @@ def save_train_state_async(path: str, params: Dict, opt_state=None,
 
 
 def flush_pending_saves() -> None:
-    """Wait for all in-flight async checkpoint writes; raise on failure."""
+    """Wait for ALL in-flight async checkpoint writes (even after one
+    fails — later writes must not be abandoned unchecked), then re-raise
+    the first failure."""
     pending, _ckpt_futures[:] = _ckpt_futures[:], []
+    first = None
     for fut in pending:
-        fut.result()
+        try:
+            fut.result()
+        except BaseException as exc:  # noqa: BLE001 — reported below
+            if first is None:
+                first = exc
+    if first is not None:
+        raise first
 
 
 def load_train_state(path: str, opt_state_template=None):

@@ -243,6 +243,17 @@ def patch_class_head_grid(params, bottom_feats, n_cells: int):
     return _patch_class_mlp(params, x, None, None)
 
 
+def pclass_for_cells(params, bottom_feats, n_cells: int):
+    """Grid Patch-Class head when the bottom geometry supports it (bottom
+    must be the /16-scale 9n+19 plane the cell math assumes), else the
+    reference's single-class center-crop head."""
+    expect = 9 * n_cells + 19
+    if n_cells > 1 and bottom_feats.shape[1] == expect \
+            and bottom_feats.shape[2] == expect:
+        return patch_class_head_grid(params, bottom_feats, n_cells)
+    return _patch_class_head(params, bottom_feats, None, None)
+
+
 def subtype_frozen_prefixes(cfg: ModelConfig):
     """Subtype fine-tune freezing (reference ``_freeze_weight``,
     net_desc.py:105-142): backbone, conv_map, Patch-Class and every decoder
@@ -280,6 +291,7 @@ def net_forward(
     dropout_rng=None,
     compute_dtype=jnp.float32,
     remat: bool = False,
+    pclass_cells: int = 1,
 ) -> Dict[str, jnp.ndarray]:
     """Run all considered heads. ``imgs``: NHWC, any numeric dtype, 0-255.
 
@@ -347,8 +359,12 @@ def net_forward(
                     "Patch-Class head assumes 512-ch bottom features "
                     "(net_desc.py:68) and is incompatible with dsf encoders "
                     "in the reference as well")
-            out = _patch_class_head(params, bottom_feats, dec_sink,
-                                    dropout_rng if training else None)
+            if pclass_cells > 1 and not training:
+                # dense inference windows: per-144² cell classification
+                out = pclass_for_cells(params, bottom_feats, pclass_cells)
+            else:
+                out = _patch_class_head(params, bottom_feats, dec_sink,
+                                        dropout_rng if training else None)
             if training and not branch_trainable(decoder_name):
                 out = jax.lax.stop_gradient(out)
             output_dict["Patch-Class"] = out

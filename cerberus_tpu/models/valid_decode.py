@@ -127,7 +127,7 @@ def valid_head_outputs(params, imgs, cfg: ModelConfig, plan: ValidPlan,
     segmentation outputs already ARE the central ``plan.out_size`` window
     (no further crop needed).
     """
-    from .net_desc import _patch_class_head, patch_class_head_grid
+    from .net_desc import _patch_class_head, pclass_for_cells
 
     _init, backbone_fwd, _filters = get_backbone(cfg.encoder_backbone_name)
     x = imgs.astype(compute_dtype) / jnp.asarray(255.0, compute_dtype)
@@ -148,7 +148,7 @@ def valid_head_outputs(params, imgs, cfg: ModelConfig, plan: ValidPlan,
             continue
         if decoder_name == "Patch-Class":
             output_dict["Patch-Class"] = (
-                patch_class_head_grid(params, bottom_feats, pclass_cells)
+                pclass_for_cells(params, bottom_feats, pclass_cells)
                 if pclass_cells > 1
                 else _patch_class_head(params, bottom_feats, None, None))
             continue

@@ -29,11 +29,8 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
-
-from . import lax_postproc
 
 def _strip_rows(w: int) -> int:
     """Strip height targeting ~1 MB per (rows, w) i32 plane: the kernel

@@ -162,8 +162,12 @@ class RunEngine:
             self.state.run_accumulated_output.append(
                 self.state.epoch_accumulated_output)
         self._trigger_events(Events.COMPLETED)
-        # join async checkpoint writes (PeriodicSaver): when run() returns,
-        # every checkpoint it scheduled is durable on disk
-        from ..models.convert import flush_pending_saves
+        # join async checkpoint writes (PeriodicSaver): when a TOP-LEVEL
+        # run() returns, every checkpoint it scheduled is durable on disk.
+        # Chained runs (TriggerEngine validation mid-training) must NOT
+        # flush — that would re-serialize each save with the very next
+        # validation pass and defeat the overlap
+        if not chained:
+            from ..models.convert import flush_pending_saves
 
-        flush_pending_saves()
+            flush_pending_saves()

@@ -260,9 +260,21 @@ def run_training(config: Dict, train_loaders: Dict, valid_loaders: Dict,
         finally:
             # an exception mid-run must not orphan in-flight async
             # checkpoint writes (RunEngine.run flushes only on clean
-            # completion)
+            # completion) — and a flush failure must not MASK the original
+            # training exception
+            import sys as _sys
+
             from ..models.convert import flush_pending_saves
 
-            flush_pending_saves()
+            unwinding = _sys.exc_info()[0] is not None
+            try:
+                flush_pending_saves()
+            except Exception:
+                if not unwinding:
+                    raise
+                import logging
+
+                logging.exception("async checkpoint flush failed during "
+                                  "exception unwind")
         carry = net.state.params
     return net

@@ -168,3 +168,35 @@ def test_dense_pclass_has_per_cell_granularity():
             cell = pc[cy * 144:(cy + 1) * 144, cx * 144:(cx + 1) * 144]
             assert len(np.unique(cell)) == 1
     assert set(np.unique(pc)) <= set(float(v) for v in range(9))
+
+
+def test_dense_pclass_granularity_survives_full_tower_path(monkeypatch):
+    """CERBERUS_VALID_REGION=0 (full towers + crop) must not change the
+    dense Patch-Class output structure (code-review r2 finding)."""
+    from cerberus_tpu.infer.steps import fused_infer_outputs
+    from cerberus_tpu.data.patching import make_channel_index_map
+    from cerberus_tpu.models.net_desc import init_net_params
+    import jax.numpy as jnp
+
+    cfg = ModelConfig.from_kwargs(MODEL_KWARGS)
+    params = init_net_params(jax.random.PRNGKey(1), cfg)
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 255, (1, 592, 592, 3)).astype(np.uint8)
+
+    def run(valid_region):
+        return np.asarray(jax.jit(
+            lambda p, x: fused_infer_outputs(
+                p, x, cfg, output_shape=288, compute_dtype=jnp.float32,
+                valid_region=valid_region))(params, img))
+
+    idx, _ = make_channel_index_map(cfg.active_decoder_kwargs)
+    s, _e = idx["Patch-Class"]
+    pc_valid = run(True)[0, :, :, s]
+    pc_full = run(False)[0, :, :, s]
+    # same per-144² block structure on both paths; same feature geometry
+    # -> identical class ids in fp32
+    np.testing.assert_array_equal(pc_valid, pc_full)
+    for cy in range(2):
+        for cx in range(2):
+            cell = pc_full[cy * 144:(cy + 1) * 144, cx * 144:(cx + 1) * 144]
+            assert len(np.unique(cell)) == 1

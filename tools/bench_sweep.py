@@ -26,9 +26,8 @@ def main() -> None:
         proc = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
             capture_output=True, text=True, cwd=REPO, env=env, timeout=1800)
-        line = proc.stdout.strip().splitlines()[-1] if proc.stdout else ""
         try:
-            rec = json.loads(line)
+            rec = json.loads(proc.stdout.strip().splitlines()[-1])
         except (json.JSONDecodeError, IndexError):
             rec = {"batch": batch, "error": proc.stderr[-500:]}
         rec["batch"] = batch
@@ -47,11 +46,11 @@ def main() -> None:
         proc = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
             capture_output=True, text=True, cwd=REPO, env=env, timeout=1800)
-        line = proc.stdout.strip().splitlines()[-1] if proc.stdout else ""
         try:
             print(json.dumps({"metric": "dense-mode run",
-                              **json.loads(line)}))
-        except json.JSONDecodeError:
+                              **json.loads(
+                                  proc.stdout.strip().splitlines()[-1])}))
+        except (json.JSONDecodeError, IndexError):
             print(json.dumps({"metric": "dense-mode run",
                               "error": proc.stderr[-500:]}))
 
