@@ -93,3 +93,24 @@ def test_canvas_set_roundtrip(tmp_path):
     got2 = canvas.read_region((100, 80, 120, 100))
     np.testing.assert_allclose(got2, pred[1][:20, :20], atol=1e-2)
     canvas.close()
+
+
+def test_tile_info_dense_stride_alignment():
+    """Dense-mode geometry (1168->864): grid tiles snap to multiples of the
+    864 stride (the reference's 15000 tile floors to 14688), every output
+    patch lands in exactly one grid tile, and the 4-set union still covers
+    internal boundaries."""
+    cfg = _ioconfig(tile=15000, margin=64, pin=1168, pout=864)
+    shape = (20000, 17000)
+    sets = get_tile_info(shape, cfg)
+    grid, _flags = sets[0]
+    # tile starts/edges are stride-aligned (clipped at the image boundary)
+    for x0, y0, x1, y1 in grid:
+        assert x0 % 864 == 0 and y0 % 864 == 0
+        assert x1 % 864 == 0 or x1 == shape[0]
+        assert y1 % 864 == 0 or y1 == shape[1]
+    _patch_in, patch_out = get_coordinates(shape, cfg)
+    sel_sum = np.zeros(len(patch_out), np.int64)
+    for t in range(len(grid)):
+        sel_sum[assign_patches_to_tiles(patch_out, grid[t])] += 1
+    assert (sel_sum == 1).all()  # exact partition at dense stride
