@@ -200,3 +200,37 @@ def test_dense_pclass_granularity_survives_full_tower_path(monkeypatch):
         for cx in range(2):
             cell = pc_full[cy * 144:(cy + 1) * 144, cx * 144:(cx + 1) * 144]
             assert len(np.unique(cell)) == 1
+
+
+def test_dense_infer_composes_with_mesh():
+    """Dense windows + batch sharding over the 8-device CPU mesh: the
+    sharded step accepts any (input, output) geometry and matches the
+    single-device result."""
+    import conftest
+    import jax.numpy as jnp
+
+    from cerberus_tpu.infer.steps import fused_infer_outputs
+    from cerberus_tpu.models.net_desc import init_net_params
+    from cerberus_tpu.parallel.mesh import make_mesh, make_sharded_infer_step
+
+    cfg = ModelConfig.from_kwargs(MODEL_KWARGS)
+    params = init_net_params(jax.random.PRNGKey(0), cfg)
+    mesh = make_mesh(conftest.cpu_mesh_devices())
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 255, (8, 240, 240, 3)).astype(np.uint8)
+
+    sharded = make_sharded_infer_step(params, cfg, mesh, output_shape=144,
+                                      compute_dtype=jnp.float32)
+    got = np.asarray(sharded(imgs))
+    want = np.asarray(jax.jit(
+        lambda p, x: fused_infer_outputs(p, x, cfg, output_shape=144,
+                                         compute_dtype=jnp.float32)
+    )(params, imgs))
+    assert got.shape == (8, 144, 144, want.shape[-1])
+    # sharded vs unsharded are different XLA compilations: fp32
+    # reassociation perturbs softmax tails (1e-24 vs 1e-32) and can flip
+    # argmax at exact ties — require probability agreement at 1e-3 and
+    # near-zero class-flip rate rather than elementwise bit equality
+    d = np.abs(got - want)
+    assert (d > 1e-3).mean() < 5e-3, (d > 1e-3).mean()
+    assert (d > 0.5).mean() < 1e-3, (d > 0.5).mean()
