@@ -9,7 +9,8 @@ import pytest
 
 import jax
 
-from cerberus_tpu.config import DEFAULT_DECODER_KWARGS, DEFAULT_TARGET_CODE
+from cerberus_tpu.config import (DEFAULT_DECODER_KWARGS,
+                                 DEFAULT_TARGET_CODE, ModelConfig)
 
 
 def test_patch_eval_pipeline(tmp_path):
@@ -142,3 +143,52 @@ def test_pairwise_iou_and_matching():
 
     # empty maps
     assert pairwise_iou(np.zeros((4, 4)), pred[:4, :4]).shape[0] == 0
+
+
+def test_run_eval_patch_cli_smoke(tmp_path):
+    """run_eval_patch.py end-to-end via subprocess: prints metrics and
+    exits 0 (the reference's infer/patch.py is bit-rotted and has no CLI;
+    this one completes it — reference infer/patch.py:1-40)."""
+    import subprocess
+    import sys
+
+    import yaml
+
+    import jax
+
+    from cerberus_tpu.models.convert import save_checkpoint
+    from cerberus_tpu.models.net_desc import init_net_params
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    model_kwargs = {
+        "encoder_backbone_name": "resnet18",
+        "decoder_kwargs": DEFAULT_DECODER_KWARGS,
+        "considered_tasks": list(DEFAULT_DECODER_KWARGS.keys()),
+    }
+    model_dir = tmp_path / "model"
+    os.makedirs(model_dir)
+    save_checkpoint(str(model_dir / "weights.tar"),
+                    init_net_params(jax.random.PRNGKey(0),
+                                    ModelConfig.from_kwargs(model_kwargs)))
+    with open(model_dir / "settings.yml", "w") as f:
+        yaml.safe_dump({"dataset_kwargs":
+                        {"req_target_code": dict(DEFAULT_TARGET_CODE)},
+                        "model_kwargs": model_kwargs}, f)
+    input_dir = tmp_path / "patches"
+    os.makedirs(input_dir)
+    rng = np.random.default_rng(0)
+    for i in range(6):
+        joblib.dump(
+            {"img": rng.integers(0, 255, (160, 160, 3)).astype(np.uint8),
+             "ann": int(i % 3)},
+            input_dir / f"p{i}.dat")
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               CERBERUS_DEFAULT_DEVICE="cpu")
+    result = subprocess.run(
+        [sys.executable, os.path.join(repo, "run_eval_patch.py"),
+         f"--model={model_dir}", f"--input_dir={input_dir}",
+         "--batch_size=3", "--patch_input_shape=144"],
+        capture_output=True, text=True, timeout=480, env=env, cwd=repo)
+    assert result.returncode == 0, result.stderr[-2000:]
+    assert "acc" in result.stdout.lower()
