@@ -64,7 +64,11 @@ class InferManager(BaseInferManager):
             chunk = imgs[start : start + batch_size]
             pad = batch_size - len(chunk)
             if pad:
-                chunk = np.concatenate([chunk, np.zeros_like(chunk[:pad])])
+                # full pad rows (zeros_like(chunk[:pad]) yields only
+                # len(chunk) rows when the tail is smaller than the pad,
+                # breaking the fixed-batch-shape compile discipline)
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
             probs = np.asarray(cls_step(self.params, chunk))
             prob_list.append(probs[: batch_size - pad])
         prob_list = np.concatenate(prob_list, axis=0)

@@ -57,6 +57,11 @@ def post_process_tile(canvas: np.ndarray, image_info: dict,
         func_dict = POSTPROC_FUNC_DICT
     idx_dict, _ = make_channel_index_map(decoder_kwargs)
 
+    # NB deliberately NOT shape-bucketed (unlike the WSI path's pad_to_512):
+    # zero padding changes erosion/watershed at the image's true
+    # bottom/right edge, which tile mode exposes directly (no margin dedup
+    # hides it) — tested to diverge from the CPU oracle. Tile directories
+    # are typically uniform-size, so per-shape compiles amortize anyway.
     pred_inst_map_dict = {}
     pred_type_map_dict = {}
     pred_inst_info_dict = {}
@@ -69,11 +74,11 @@ def post_process_tile(canvas: np.ndarray, image_info: dict,
                                                        tissue_code)
             pred_inst_map_dict[tissue_code] = inst_map
             pred_type_map_dict[tissue_code] = type_map
-        elif tissue_code == "Patch-class":
+        elif tissue_code == "Patch-class" and "Patch-Class" in idx_dict:
             pclass_map = canvas[..., idx_dict["Patch-Class"][0]]
 
     # lumen predictions only survive inside glands (infer/tile.py:187-191)
-    if "lumen" in postproc_list and "gland" in postproc_list:
+    if "Lumen" in pred_inst_map_dict and "Gland" in pred_inst_map_dict:
         binary_gland = (pred_inst_map_dict["Gland"] > 0).astype(
             pred_inst_map_dict["Lumen"].dtype)
         pred_inst_map_dict["Lumen"] = binary_gland * pred_inst_map_dict["Lumen"]
@@ -81,7 +86,9 @@ def post_process_tile(canvas: np.ndarray, image_info: dict,
     pred_type_tmp = None
     for tissue_code in postproc_list:
         tissue_code = tissue_code.capitalize()
-        if tissue_code == "Patch-class":
+        if tissue_code not in pred_inst_map_dict:
+            # partial-task checkpoints (e.g. nuclei-only): the default
+            # postproc_list names tasks this model does not predict
             continue
         pred_inst_tmp = cv2.resize(pred_inst_map_dict[tissue_code], (0, 0),
                                    fx=2, fy=2, interpolation=cv2.INTER_NEAREST)
@@ -126,7 +133,9 @@ class InferManager(BaseInferManager):
         file_path_list_all = recur_find_ext(self.input_dir, [".png", ".jpg"])
         file_path_list = []
         for file_path in file_path_list_all:
-            base_name = os.path.basename(file_path).split(".")[0]
+            # stem (not split('.')[0]): outputs are written under Path.stem,
+            # so dotted names like slide.v2.png must probe slide.v2.mat
+            base_name = pathlib.Path(file_path).stem
             # skip-if-done (infer/tile.py:228-241). Deliberate fix vs the
             # reference: it probes 'patch-class_mat/' which is never written
             # (outputs land in 'pclass_mat/'), so its check always re-runs;
@@ -137,6 +146,11 @@ class InferManager(BaseInferManager):
                     "pclass" if t == "patch-class" else t,
                     base_name))
                 for t in self.postproc_list
+                # partial-task checkpoints never write absent tasks' dirs;
+                # counting them as missing would defeat skip-if-done forever
+                if (t.capitalize() + "-INST" in self.decoder_dict
+                    or (t == "patch-class"
+                        and "Patch-Class" in self.decoder_dict))
             )
             if missing > 0:
                 file_path_list.append(file_path)

@@ -84,20 +84,44 @@ def _info_to_wsi_format(inst_info_dict, offset_xy):
     return out
 
 
-def _pad_to_512(arr: np.ndarray) -> np.ndarray:
-    """Zero-pad H/W up to multiples of 512 (shape bucketing for jitted
-    postproc kernels; zeros are background for every postproc family).
+from ..ops.tpu_postproc import pad_to_512 as _pad_to_512  # shape bucketing
 
-    Sole semantic nuance: cv2-compatible binary erosion treats the ARRAY
-    border as foreground, so at the slide's true bottom/right edge the
-    nuclei mask can lose a <=1 px band vs the unpadded call (interior tile
-    edges are margin-deduped anyway). Documented divergence — PARITY.md."""
-    h, w = arr.shape[:2]
-    ph, pw = -(-h // 512) * 512, -(-w // 512) * 512
-    if (ph, pw) == (h, w):
-        return arr
-    pad = [(0, ph - h), (0, pw - w)] + [(0, 0)] * (arr.ndim - 2)
-    return np.pad(arr, pad)
+
+def _read_region_resized(canvas, bounds, channels, ds: float, mask=None,
+                         interp=None):
+    """Stripe-read a canvas region and downscale incrementally.
+
+    Reading a full-slide channel plane as float32 before resizing
+    materializes O(slide) RAM (tens of GB at 100k²); processing in row
+    stripes bounds peak memory to O(stripe + output). Stripe heights are
+    multiples of 1/ds, so nearest/0.5x-linear resizes of stripes
+    concatenate to exactly the whole-plane resize (each output row reads
+    only source rows inside its stripe).
+    """
+    x0, y0, x1, y1 = [int(v) for v in bounds]
+    src_h, src_w = y1 - y0, x1 - x0
+    out_w = int(round(src_w * ds))
+    out_h = int(round(src_h * ds))
+    inv = max(1, int(round(1.0 / ds)))
+    step = 4096 - (4096 % inv)
+    interp = cv2.INTER_LINEAR if interp is None else interp
+    parts = []
+    done = 0
+    for sy in range(0, src_h, step):
+        ey = min(sy + step, src_h)
+        stripe = canvas.read_region((x0, y0 + sy, x1, y0 + ey),
+                                    channels=channels)
+        if mask is not None:
+            stripe = stripe * mask[sy:ey]
+        oh = (out_h - done) if ey == src_h else int((ey - sy) * ds)
+        if oh <= 0:
+            continue
+        stripe = cv2.resize(stripe, (out_w, oh), interpolation=interp)
+        if stripe.ndim == 2:
+            stripe = stripe[..., None]
+        parts.append(stripe)
+        done += oh
+    return np.concatenate(parts, axis=0)
 
 
 def _process_tile_predictions(raw_path, canvas_shape, inst_slice, type_slice,
@@ -230,12 +254,23 @@ class InferManager(BaseInferManager):
 
         read_q: "queue.Queue" = queue.Queue(maxsize=2)
         _END = object()
+        stop = threading.Event()
 
         def read_worker():
             try:
                 for item in self._read_patch_batches(reader, tile_in,
                                                      resolution):
-                    read_q.put(item)
+                    # bounded put that notices shutdown: on an error in the
+                    # main loop nobody drains the queue, and a plain put()
+                    # would block this thread forever
+                    while not stop.is_set():
+                        try:
+                            read_q.put(item, timeout=0.5)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
                 read_q.put(_END)
             except BaseException as exc:  # surfaced in the main loop
                 read_q.put(exc)
@@ -269,11 +304,17 @@ class InferManager(BaseInferManager):
                     commit(*inflight.popleft())
                 while write_futs and write_futs[0].done():
                     write_futs.pop(0).result()  # propagate write errors early
+                # backpressure: every pending write future pins a device
+                # output (and its batch) in HBM; a slow writer must stall
+                # dispatch rather than accumulate unbounded device buffers
+                while len(write_futs) > 4:
+                    write_futs.pop(0).result()
             while inflight:
                 commit(*inflight.popleft())
             for fut in write_futs:
                 fut.result()
         finally:
+            stop.set()
             writer.shutdown(wait=True)
             reader_thread.join(timeout=60)
 
@@ -327,6 +368,15 @@ class InferManager(BaseInferManager):
         import json as _json
 
         progress_path = os.path.join(self.cache_path, "progress.json")
+        # done_tiles indices are only meaningful under the SAME tile grid
+        # and mask: a changed --chunk_shape / patch geometry / tissue mask
+        # must invalidate the marker (else tiles that were never computed
+        # under the new grid would be silently skipped)
+        grid_fp = [int(ioconfig.tile_shape[0]),
+                   int(ioconfig.patch_input_shape[0]),
+                   int(ioconfig.patch_output_shape[0]),
+                   int(ioconfig.margin)]
+        mask_fp = [list(map(int, wsi_mask.shape)), int(wsi_mask.sum())]
         done_tiles = set()
         resume = False
         if os.path.exists(progress_path):
@@ -335,7 +385,9 @@ class InferManager(BaseInferManager):
                     meta = _json.load(handle)
                 if (meta.get("slide") == wsi_basename
                         and meta.get("shape") == list(map(int, wsi_proc_shape))
-                        and meta.get("n_ch") == n_ch):
+                        and meta.get("n_ch") == n_ch
+                        and meta.get("grid") == grid_fp
+                        and meta.get("mask") == mask_fp):
                     done_tiles = set(meta.get("done_tiles", []))
                     resume = True
             except Exception:
@@ -350,6 +402,8 @@ class InferManager(BaseInferManager):
                 _json.dump({"slide": wsi_basename,
                             "shape": list(map(int, wsi_proc_shape)),
                             "n_ch": n_ch,
+                            "grid": grid_fp,
+                            "mask": mask_fp,
                             "done_tiles": sorted(done_tiles)}, handle)
             os.replace(progress_path + ".tmp", progress_path)
 
@@ -439,11 +493,10 @@ class InferManager(BaseInferManager):
         start = time.perf_counter()
         if "Patch-Class" in idx_dict:
             ds = 0.25
-            pclass = canvas.read_region(
-                (0, 0, int(wsi_proc_shape[1]), int(wsi_proc_shape[0])),
-                channels=[idx_dict["Patch-Class"][0]])[..., 0]
-            pclass = cv2.resize(pclass, (0, 0), fx=ds, fy=ds,
-                                interpolation=cv2.INTER_NEAREST)
+            pclass = _read_region_resized(
+                canvas, (0, 0, int(wsi_proc_shape[1]), int(wsi_proc_shape[0])),
+                [idx_dict["Patch-Class"][0]], ds,
+                interp=cv2.INTER_NEAREST)[..., 0]
             lores_mask = cv2.resize(wsi_mask, (pclass.shape[1], pclass.shape[0]),
                                     interpolation=cv2.INTER_NEAREST)
             pclass *= lores_mask
@@ -495,12 +548,9 @@ class InferManager(BaseInferManager):
                     t0 = len(chans)
                     chans += list(range(*idx_dict[f"{tissue_code}-TYPE"]))
                     new_idx[f"{tissue_code}-TYPE"] = [t0, len(chans)]
-                region = canvas.read_region((cmin, rmin, cmax, rmax),
-                                            channels=chans)
-                region *= region_mask
-                region = cv2.resize(region, (0, 0), fx=ds, fy=ds)
-                if region.ndim == 2:
-                    region = region[..., None]
+                region = _read_region_resized(
+                    canvas, (cmin, rmin, cmax, rmax), chans, ds,
+                    mask=region_mask)
                 if getattr(self, "postproc_backend", "cpu") == "tpu":
                     from ..ops.tpu_postproc import TPU_POSTPROC_FUNC_DICT
 

@@ -31,6 +31,23 @@ from . import lax_postproc as L
 _PALLAS_CC_MAX_PIXELS = 1_000_000
 
 
+def pad_to_512(arr: np.ndarray) -> np.ndarray:
+    """Zero-pad H/W up to multiples of 512 (shape bucketing: each unique
+    shape costs a fresh XLA compile ~25 s vs seconds of run; zeros are
+    background for every postproc family).
+
+    Sole semantic nuance: cv2-compatible binary erosion treats the ARRAY
+    border as foreground, so at the image's true bottom/right edge the
+    nuclei mask can lose a <=1 px band vs the unpadded call (interior tile
+    edges are margin-deduped anyway). Documented divergence — PARITY.md."""
+    h, w = arr.shape[:2]
+    ph, pw = -(-h // 512) * 512, -(-w // 512) * 512
+    if (ph, pw) == (h, w):
+        return arr
+    pad = [(0, ph - h), (0, pw - w)] + [(0, 0)] * (arr.ndim - 2)
+    return np.pad(arr, pad)
+
+
 def _cc(fg, impl: str):
     """Static dispatch: 'lax' while_loop CC, 'pallas' VMEM-resident kernel
     (4.1x faster on v5e at 448^2) for canvases under the VMEM cap and the
@@ -143,8 +160,11 @@ class TPUPostProcInstErodedMap:
             lab = _eroded_map_instances(fg, 0.5, min_size, ksize, _cc_impl())
         inst_map = _compact_labels(lab)
         type_key = tissue_mode + "-TYPE"
-        type_map = (np.asarray(raw_map[..., idx_dict[type_key][0]:
-                                       idx_dict[type_key][1]])
+        # squeeze like the CPU class and the contour class below: downstream
+        # (get_inst_info_dict, .mat writers) expects (H, W), not (H, W, 1)
+        type_map = (np.squeeze(np.asarray(
+                        raw_map[..., idx_dict[type_key][0]:
+                                idx_dict[type_key][1]]))
                     if type_key in idx_dict else None)
         return inst_map, type_map
 

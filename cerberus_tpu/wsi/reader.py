@@ -214,6 +214,16 @@ class NpyPyramidReader(WSIReader):
 
             coords_yx = bounds[:, [1, 0]]
             return gather_patches(level, coords_yx, win_h, win_w)
+        # non-native scale: per-window decode+resize is the expensive case,
+        # so spread it over threads (cv2/numpy release the GIL) instead of
+        # a serial loop that starves the prefetch pipeline
+        if len(bounds) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(8, len(bounds))) as pool:
+                return np.stack(list(pool.map(
+                    lambda b: self.read_bounds(b, resolution, units),
+                    bounds)))
         return np.stack([self.read_bounds(b, resolution, units)
                          for b in bounds])
 
