@@ -179,9 +179,25 @@ def load_checkpoint(path: str) -> Dict:
     """
     with open(path, "rb") as handle:
         magic = handle.read(2)
-    if magic == b"PK" or path.endswith((".tar", ".pt", ".pth")):
+    if magic == b"PK":
+        # definitely a torch zip archive: let conversion errors surface
+        # (falling through to msgpack would mask the real failure with an
+        # unrelated decode error)
+        return convert_torch_checkpoint(path)
+    if path.endswith((".tar", ".pt", ".pth")):
+        # legacy-pickle torch OR a native msgpack checkpoint wearing the
+        # reference's torch-style name. Fall through to msgpack only when
+        # torch.load itself can't parse the file; once it parses as torch,
+        # conversion errors are real and must surface.
+        import torch
+
         try:
-            return convert_torch_checkpoint(path)
+            ckpt = torch.load(path, map_location="cpu", weights_only=False)
         except Exception:
-            pass
+            ckpt = None  # not a torch file at all
+        if ckpt is not None:
+            state_dict = (ckpt["desc"]
+                          if isinstance(ckpt, dict) and "desc" in ckpt
+                          else ckpt)
+            return convert_torch_state_dict(state_dict)
     return load_native_checkpoint(path)

@@ -295,9 +295,19 @@ def fill_label_holes(lab: jnp.ndarray) -> jnp.ndarray:
     Fast path: a hole component bounded by exactly ONE instance (the
     overwhelmingly common case — a lumen inside one gland) is assigned in
     O(log diameter) sweeps via connected_components + per-component segment
-    reductions. Only when some hole touches two or more instances does the
-    exact 1 px/sweep flood (labels advance lockstep, min id wins the meeting
-    line) run, preserving the original contested-hole partition semantics.
+    reductions. When a hole touches two or more instances, a lockstep flood
+    (labels advance together, min id wins the meeting line) partitions it.
+
+    Divergence from the CPU oracle (documented here + PARITY.md): the
+    reference fills holes PER INSTANCE inside each instance's bbox
+    (loader/postproc.py via binary_fill_holes), so a background pocket
+    jointly enclosed by two instances but by neither alone stays
+    unfilled there, and a hole enclosed by instance A that merely touches
+    B is filled entirely with A. This global formulation fills such
+    contested pockets, split along the lockstep meeting line. Real
+    gland/lumen morphology essentially never produces these cases (no
+    oracle-comparison test has ever hit one); the behavior difference is
+    confined to multi-instance-enclosed background.
     """
     h, w = lab.shape
     big = jnp.int32(h * w + 2)

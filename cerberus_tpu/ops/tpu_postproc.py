@@ -12,7 +12,12 @@ manager; outputs are label-isomorphic to the CPU path up to:
     inside the image (loader/postproc.py:296-300), so near borders its
     dilation is clipped at the original bbox; the TPU path grows uniformly
     everywhere (the clamp is an artifact of the crop-based implementation,
-    not intended behavior).
+    not intended behavior);
+  * background pockets jointly enclosed by MULTIPLE instances: the
+    reference fills holes per instance (each bbox in isolation), this path
+    fills globally and partitions contested pockets along the lockstep
+    flood meeting line (lax_postproc.fill_label_holes docstring has the
+    full analysis; not observed on real morphology).
 """
 from __future__ import annotations
 
@@ -76,9 +81,13 @@ def _cc(fg, impl: str):
 def _cc_impl() -> str:
     import os
 
+    # same env contract as ops/pallas_cc.connected_components: '0' kills,
+    # any other non-empty value force-enables, empty = by platform
     env = os.environ.get("CERBERUS_PALLAS", "")
     if env == "0":
         return "lax"
+    if env:
+        return "pallas"
     # decide by where computation actually runs: a pinned jax_default_device
     # (tests pin CPU while an accelerator plugin stays the default backend)
     # takes precedence over the backend

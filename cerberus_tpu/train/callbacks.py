@@ -128,6 +128,11 @@ class ConditionalSaver(BaseCallbacks):
         super().__init__()
         self.metric_name = metric_name
         self.comparator = comparator
+        # best value actually SAVED this run: with per-step validation the
+        # stats file holds one value per epoch key, so a later (worse)
+        # flush inside the same epoch would otherwise overwrite a better
+        # checkpoint saved earlier in that epoch
+        self._saved_best = None
 
     def run(self, state, event):
         if not state.logging:
@@ -157,8 +162,12 @@ class ConditionalSaver(BaseCallbacks):
                     op_func(epoch_stat[self.metric_name], best):
                 best = epoch_stat[self.metric_name]
         current = stats[epoch_key][self.metric_name]
+        if self._saved_best is not None and \
+                op_func(self._saved_best, best):
+            best = self._saved_best
         if not op_func(current, best):
             return
+        self._saved_best = current
         for net_name, net in state.run_info.items():
             save_checkpoint("%s/%s_best=[%s].tar"
                             % (state.log_dir, net_name, self.metric_name),

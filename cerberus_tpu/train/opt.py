@@ -89,19 +89,24 @@ def build_trainer(config: Dict, train_loaders: Dict, valid_loaders: Dict,
     dtype = compute_dtype if compute_dtype is not None else jnp.float32
     params = (pretrained_params if pretrained_params is not None
               else init_net_params(jax.random.PRNGKey(seed), cfg))
+    # thread the configured decay cadence into the optimizer kwargs so the
+    # schedule the step functions BUILD matches the one logged below (the
+    # optimizer previously hardcoded the 75000 default regardless)
+    opt_kwargs = dict(net_cfg["optimizer_kwargs"],
+                      lr_decay_steps=int(net_cfg.get("lr_decay_steps",
+                                                     75000)))
     schedule = make_lr_schedule(
-        float(net_cfg["optimizer_kwargs"].get("lr", 1e-3)),
-        int(net_cfg.get("lr_decay_steps", 75000)))
+        float(opt_kwargs.get("lr", 1e-3)), opt_kwargs["lr_decay_steps"])
     if mesh is not None:
         from ..parallel.mesh import make_sharded_train_step
 
         train_step, init_state, tx = make_sharded_train_step(
-            cfg, mesh, loss_kwargs, net_cfg["optimizer_kwargs"],
+            cfg, mesh, loss_kwargs, opt_kwargs,
             compute_dtype=dtype)
         state = init_state(params)
     else:
         train_step, tx = make_train_step(cfg, loss_kwargs,
-                                         net_cfg["optimizer_kwargs"],
+                                         opt_kwargs,
                                          compute_dtype=dtype,
                                          remat=remat)
         state = TrainState(params=params, opt_state=tx.init(params),

@@ -69,7 +69,11 @@ def make_optimizer(optimizer_kwargs: Optional[Mapping[str, Any]] = None,
     betas = kwargs.get("betas", (0.9, 0.999))
     wd = float(kwargs.get("weight_decay", 0.0))
     if schedule is None:
-        schedule = make_lr_schedule(lr)
+        # honor a configured decay cadence: callers (build_trainer) thread
+        # the config's lr_decay_steps through optimizer_kwargs so the
+        # schedule the optimizer APPLIES is the one the logs report
+        schedule = make_lr_schedule(lr,
+                                    int(kwargs.get("lr_decay_steps", 75000)))
     opt = optax.adamw(schedule, b1=betas[0], b2=betas[1], weight_decay=wd) \
         if wd else optax.adam(schedule, b1=betas[0], b2=betas[1])
     # BN running stats live in the param tree but are not trainable: route
