@@ -62,10 +62,6 @@ class MTLPatchDataset:
         self.drop_last = drop_last
         self._rng = np.random.default_rng(seed)
         self.heads = list(head_output_channels(cfg).keys())
-        # head -> (annotation channel code, target code)
-        self.head_to_code = {}
-        for head, tg_code in self.req_target_code.items():
-            self.head_to_code[head] = tg_code
 
     @classmethod
     def from_dir(cls, data_dir: str, cfg: ModelConfig, req_target_code,
@@ -97,7 +93,7 @@ class MTLPatchDataset:
         # 'Gland-INST'; annotation channels are tissue-level ('Gland-INST',
         # 'Gland-TYPE', ...) in `channels`
         channel_to_target = {head: code
-                             for head, code in self.head_to_code.items()
+                             for head, code in self.req_target_code.items()
                              if head != "Patch-Class"}
         targets, has_flag = gen_targets(
             ann, channels, channel_to_target,

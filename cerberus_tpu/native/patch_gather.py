@@ -62,8 +62,13 @@ def gather_patches(src: np.ndarray, coords_yx: np.ndarray, win_h: int,
     uint8, C-contiguous or a numpy memmap) at top-left (y, x) coords;
     out-of-bounds regions zero-filled. Returns (N, win_h, win_w, C) uint8.
     """
-    src = np.ascontiguousarray(src) if not (
-        isinstance(src, np.memmap) or src.flags["C_CONTIGUOUS"]) else src
+    # the C kernel indexes with dense row strides: a non-C-contiguous
+    # source (Fortran-ordered .npy, sliced view) would silently scramble
+    # pixels. flags checks don't materialize memmaps, so check ALL sources;
+    # huge non-contiguous memmaps take the numpy fallback path upstream
+    # rather than being copied here.
+    if not src.flags["C_CONTIGUOUS"]:
+        src = np.ascontiguousarray(src)
     if src.ndim == 2:
         src = src[..., None]
     h, w, c = src.shape

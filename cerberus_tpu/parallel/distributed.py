@@ -52,5 +52,10 @@ def shard_slides(slides: Sequence, masks: Sequence,
     unchanged (process_count == 1 returns everything)."""
     if process_id is None:
         process_id, process_count = process_info()
+    elif process_count is None:
+        # slides[pid::None] would be an OVERLAPPING tail slice — two hosts
+        # would both process nearly the whole cohort
+        raise ValueError("shard_slides: process_count is required when "
+                         "process_id is given explicitly")
     return (list(slides[process_id::process_count]),
             list(masks[process_id::process_count]))

@@ -55,8 +55,12 @@ def make_sharded_infer_step(params, cfg: ModelConfig, mesh: Mesh,
                             output_shape: int = 144,
                             compute_dtype=jnp.bfloat16):
     """Batch-sharded inference step: params replicated, batch split on the
-    data axis. Callers pad batches to a multiple of mesh size."""
+    data axis. Any batch size works: batches are zero-padded up to a mesh
+    multiple on the way in and sliced back on the way out (the CLI defaults
+    — batch 10/30 — are not multiples of an 8-chip host; the reference's
+    DataParallel accepted arbitrary batch sizes too)."""
     params = replicate_params(params, mesh)
+    n_dev = int(np.prod(mesh.devices.shape))
     batch_sharding = NamedSharding(mesh, P(DATA_AXIS))
     out_sharding = NamedSharding(mesh, P(DATA_AXIS))
 
@@ -67,8 +71,14 @@ def make_sharded_infer_step(params, cfg: ModelConfig, mesh: Mesh,
         return jax.lax.with_sharding_constraint(out, out_sharding)
 
     def run(imgs: np.ndarray):
+        n = len(imgs)
+        pad = (-n) % n_dev
+        if pad:
+            imgs = np.concatenate(
+                [imgs, np.zeros((pad,) + imgs.shape[1:], imgs.dtype)])
         imgs = jax.device_put(imgs, batch_sharding)
-        return step(params, imgs)
+        out = step(params, imgs)
+        return out[:n] if pad else out
 
     return run
 

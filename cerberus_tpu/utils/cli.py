@@ -63,7 +63,13 @@ def docopt(doc: str, argv=None, version: str = "") -> dict:
                 flag, value = token.split("=", 1)
             else:
                 flag = token
-                if flag in value_flags and i + 1 < len(argv):
+                if flag in value_flags:
+                    if i + 1 >= len(argv):
+                        # real docopt exits with usage on a missing option
+                        # argument; silently parsing True would e.g. turn a
+                        # forgotten --batch_size value into batch size 1
+                        print(doc)
+                        sys.exit(1)
                     i += 1
                     value = argv[i]
                 else:

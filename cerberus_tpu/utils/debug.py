@@ -4,8 +4,10 @@ The reference has no sanitizers — only commented-out NaN/Inf scans
 (models/backbone/resnet.py:138-152) and an unused worker lock. Rebuild
 guards (SURVEY.md §5):
 
-  * ``enable_debug_mode()``: turns on ``jax_debug_nans`` + disables the
-    async dispatch queue so failures surface at the faulting op;
+  * ``enable_debug_mode()``: turns on ``jax_debug_nans`` (which itself
+    forces a sync check after each primitive, surfacing NaNs at the
+    faulting op) and disables most XLA optimizations so program structure
+    maps back to source;
   * ``deterministic_mode()``: single-threaded, fixed-seed, highest-precision
     context for reproducing numerics.
 
@@ -39,7 +41,6 @@ def configure_from_env() -> None:
 def enable_debug_mode() -> None:
     jax.config.update("jax_debug_nans", True)
     jax.config.update("jax_disable_most_optimizations", True)
-    os.environ.setdefault("JAX_DISABLE_JIT", "0")
 
 
 def debug_mode_requested() -> bool:

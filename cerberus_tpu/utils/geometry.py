@@ -50,7 +50,7 @@ def remap_label(pred: np.ndarray, by_size: bool = False) -> np.ndarray:
     if len(pred_id) == 0:
         return pred
     if by_size:
-        sizes = np.array([(pred == i).sum() for i in pred_id])
+        sizes = np.bincount(pred.ravel().astype(np.int64))[pred_id]
         order = np.argsort(-sizes, kind="stable")
         pred_id = pred_id[order]
     lut = np.zeros(int(pred.max()) + 1, dtype=np.int32)

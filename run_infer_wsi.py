@@ -80,6 +80,10 @@ if __name__ == "__main__":
 
     wsi_list, mask_list = [], []
     for wsi_filename in wsi_file_list:
+        # deliberate divergence (PARITY.md): the reference strips a FIXED
+        # five characters (basename[:-5], run_infer_wsi.py:76-77 — correct
+        # only for .tiff); splitext handles every extension, so mask files
+        # pair with .svs/.npy-dir slides too
         wsi_basename = os.path.splitext(os.path.basename(wsi_filename))[0]
         if not args["--msk_dir"]:
             wsi_list.append(wsi_filename)
@@ -114,9 +118,7 @@ if __name__ == "__main__":
         else int(args["--patch_output_shape"]),
         "save_thumb": bool(args["--save_thumb"]),
         "save_mask": bool(args["--save_mask"]),
-        "mask_dir": args["--msk_dir"],
         "postproc_list": list(DEFAULT_TARGET_LIST),
-        "msk_dir": args["--msk_dir"],
         "tile_shape": int(args["--tile_shape"]),
         "chunk_shape": int(args["--chunk_shape"]),
         "ambiguous_size": int(args["--ambiguous_size"]),

@@ -85,9 +85,12 @@ if __name__ == "__main__":
                       batch_size=batch_size)
         train_loaders = {"train": MTLPatchDataset.from_dir(
             dk["train_dir"], cfg, **common)}
+        # drop_last=False: validation must see every sample — with the
+        # default True, a valid set smaller than the batch yields ZERO
+        # batches and best-checkpoint selection silently breaks
         valid_loaders = {"valid": MTLPatchDataset.from_dir(
             dk.get("valid_dir", dk["train_dir"]), cfg, augment=False,
-            shuffle=False, **common)}
+            shuffle=False, drop_last=False, **common)}
     else:
         raise SystemExit(
             "settings.yml dataset_kwargs must declare either train_dir "

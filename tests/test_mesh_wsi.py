@@ -82,3 +82,30 @@ def test_wsi_pipeline_mesh_sharded(tmp_path):
     dat = joblib.load(f"{out_dir}/dat/s.dat")
     assert set(dat.keys()) >= {"Nuclei", "Gland", "Lumen"}
     np.testing.assert_array_equal(dat["proc_dimensions"], [400, 500])
+
+
+def test_sharded_infer_accepts_non_divisible_batch():
+    """CLI default batch sizes (10/30) are not multiples of an 8-chip
+    host; the sharded step pads to a mesh multiple and slices back
+    (code-review r2 finding — it hard-crashed with ValueError before)."""
+    import conftest
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cerberus_tpu.config import DEFAULT_DECODER_KWARGS, ModelConfig
+    from cerberus_tpu.models.net_desc import init_net_params
+    from cerberus_tpu.parallel.mesh import make_mesh, make_sharded_infer_step
+
+    cfg = ModelConfig.from_kwargs({
+        "encoder_backbone_name": "resnet18",
+        "decoder_kwargs": DEFAULT_DECODER_KWARGS,
+        "considered_tasks": list(DEFAULT_DECODER_KWARGS.keys())})
+    params = init_net_params(jax.random.PRNGKey(0), cfg)
+    mesh = make_mesh(conftest.cpu_mesh_devices())
+    run = make_sharded_infer_step(params, cfg, mesh, output_shape=48,
+                                  compute_dtype=jnp.float32)
+    full = np.asarray(run(np.zeros((16, 144, 144, 3), np.uint8)))
+    partial = np.asarray(run(np.zeros((10, 144, 144, 3), np.uint8)))
+    assert partial.shape[0] == 10
+    np.testing.assert_array_equal(partial, full[:10])
