@@ -76,7 +76,7 @@ def main() -> None:
     # scale the hang watchdog with the requested work (default knobs = the
     # driver's 480 s budget; larger sweeps must not be misreported as a
     # wedged tunnel)
-    budget = int(480 * max(1.0, ITERS / 10.0, BATCH / 128.0))
+    budget = int(480 * max(1.0, ITERS / 10.0) * max(1.0, BATCH / 128.0))
     if os.environ.get("CERBERUS_BENCH_DENSE") == "1":
         budget += 300
     _watchdog(budget)

@@ -99,6 +99,7 @@ def test_dense_mode_matches_windowed(model_dir, tmp_path):
     out_win = _run(model_dir, tmp_path, "win", 144, 48, input_dir)
     out_dense = _run(model_dir, tmp_path, "dense", 240, 144, input_dir)
 
+    found_any = False
     for fam in ("gland", "lumen", "nuclei"):
         a = sio.loadmat(str(out_win / f"{fam}_mat" / "t.mat"))["inst_map"]
         b = sio.loadmat(str(out_dense / f"{fam}_mat" / "t.mat"))["inst_map"]
@@ -107,9 +108,13 @@ def test_dense_mode_matches_windowed(model_dir, tmp_path):
         union = (fa | fb).sum()
         if union == 0:
             continue
+        found_any = True
         iou = (fa & fb).sum() / union
         # only window-padding-context pixels may differ between the modes
         assert iou > 0.95, (fam, iou)
+    # the biased-head fixture must yield real instances — all-empty would
+    # make every IoU assertion above vacuous
+    assert found_any
     pa = sio.loadmat(str(out_win / "pclass_mat" / "t.mat"))["pclass"]
     pb = sio.loadmat(str(out_dense / "pclass_mat" / "t.mat"))["pclass"]
     # Patch-Class granularity is per output patch: dense mode broadcasts

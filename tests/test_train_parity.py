@@ -170,3 +170,10 @@ def test_train_loss_scalars_match_reference(reference_train_step):
         got_v = float(metrics[f"{head}_loss"])
         assert abs(ref_v - got_v) / max(abs(ref_v), 1e-3) < 5e-3, (
             head, ref_v, got_v)
+    # Patch-Class: loose bound only — the reference keeps dropout active in
+    # this head during training, so its loss carries sampling noise; still
+    # catches broadcasting/label-quirk regressions (those shift CE by >2x)
+    ref_pc = float(ref_ema["Patch-Class_loss"])
+    got_pc = float(metrics["Patch-Class_loss"])
+    assert abs(ref_pc - got_pc) / max(abs(ref_pc), 1e-3) < 0.5, (
+        ref_pc, got_pc)

@@ -23,11 +23,17 @@ def main() -> None:
     results = []
     for batch in batches:
         env = dict(os.environ, CERBERUS_BENCH_BATCH=str(batch))
-        proc = subprocess.run(
-            [sys.executable, os.path.join(REPO, "bench.py")],
-            capture_output=True, text=True, cwd=REPO, env=env, timeout=1800)
         try:
+            # bench.py's internal watchdog scales with batch; give the
+            # subprocess more headroom than that so a slow-but-alive run
+            # is reported by bench.py itself, not killed here
+            proc = subprocess.run(
+                [sys.executable, os.path.join(REPO, "bench.py")],
+                capture_output=True, text=True, cwd=REPO, env=env,
+                timeout=480 * max(1, batch // 128) * 2 + 600)
             rec = json.loads(proc.stdout.strip().splitlines()[-1])
+        except subprocess.TimeoutExpired:
+            rec = {"batch": batch, "error": "subprocess timeout"}
         except (json.JSONDecodeError, IndexError):
             rec = {"batch": batch, "error": proc.stderr[-500:]}
         rec["batch"] = batch

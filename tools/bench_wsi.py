@@ -153,6 +153,10 @@ def main() -> None:
         elif arg == "--dense":
             dense = True
 
+    # the level pyramid decimates by 2 three times; a non-multiple-of-8
+    # size would mis-broadcast the strided copies
+    size -= size % 8
+
     root = tempfile.mkdtemp(prefix="cerberus_wsi_bench_")
     try:
         t0 = time.perf_counter()

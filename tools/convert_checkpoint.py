@@ -15,7 +15,6 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from cerberus_tpu.models.convert import convert_torch_checkpoint, save_checkpoint
-from cerberus_tpu.utils.cli import docopt
 
 if __name__ == "__main__":
     argv = sys.argv[1:]

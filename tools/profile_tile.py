@@ -22,6 +22,18 @@ sys.path.insert(0, REPO)
 
 
 def main() -> None:
+    # the tunneled dev chip intermittently wedges (CLAUDE.md): bail with a
+    # message instead of hanging forever
+    import signal
+
+    def on_alarm(_sig, _frame):
+        print("device unresponsive for 900s (tunnel wedged); no profile "
+              "captured", file=sys.stderr)
+        os._exit(2)
+
+    signal.signal(signal.SIGALRM, on_alarm)
+    signal.alarm(900)
+
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/cerberus_prof"
     os.makedirs(out_dir, exist_ok=True)
 
@@ -38,6 +50,9 @@ def main() -> None:
         _nuclei_watershed,
     )
 
+    # NB: mirrors bench.py's operating point (grid, thresholds, gland gate)
+    # so the profile attributes the HEADLINE pipeline — keep in sync with
+    # bench.py when the operating point changes
     batch = int(os.environ.get("CERBERUS_BENCH_BATCH", "128"))
     gh = int(batch ** 0.5)
     while batch % gh:
