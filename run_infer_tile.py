@@ -20,7 +20,7 @@ Options:
   --output_dir=<path>         Path to output data directory. Will create automtically if doesn't exist. [default: output/]
   --patch_input_shape=<n>     Shape of input patch to the network- Assume square shape. [default: 448]
   --patch_output_shape=<n>    Shape of network output- Assume square shape. [default: 144]
-  --dense                     Dense inference: 1168->864 windows (~3x fewer FLOPs per output px at the same 152 px margin; PARITY.md). Overrides the patch shape flags
+  --dense                     Dense inference: 1168->864 windows (~3x fewer FLOPs per output px at the same 152 px margin; PARITY.md). Overrides the patch shape flags; use --batch_size=16 or less (windows are 6.8x larger; 16 fits 16 GB HBM)
   --postproc_backend=<str>    Instance post-processing backend: cpu (scipy/cv2 oracle) or tpu (on-chip lax/Pallas kernels). [default: cpu]
   --tile_backend=<str>        Tile engine: host (gather + stitch on host) or fused (forward + canvas scatter as one on-device program). [default: host]
 
