@@ -341,8 +341,13 @@ class InferManager(BaseInferManager):
             # never wires it into the WSI CLI — misc/utils.py:238-244)
             from ..ops.tissue_mask import get_tissue_mask
 
-            thumb_mpp = max(8.0 * reader.info.mpp,
-                            float(resolution["resolution"]) * 8)
+            # downsample at most 8x, but keep the thumbnail's short side
+            # >= ~512 px: the mask morphology uses the reference's FIXED
+            # 2000 px area thresholds (misc/utils.py:216-235), which wipe
+            # out all tissue on tiny thumbnails of small slides
+            ds = min(8.0, max(1.0, min(wsi_proc_shape) / 512.0))
+            thumb_mpp = max(ds * reader.info.mpp,
+                            float(resolution["resolution"]) * ds)
             thumb = reader.slide_thumbnail(resolution=thumb_mpp, units="mpp")
             wsi_mask = get_tissue_mask(thumb).astype(np.uint8)
         else:
