@@ -329,7 +329,16 @@ def open_wsi(path: str, mpp: Optional[float] = None) -> WSIReader:
     ext = os.path.splitext(path)[1].lower()
     if os.path.isdir(path) or ext == ".npy":
         return NpyPyramidReader(path, mpp=mpp)
-    if ext in (".png", ".jpg", ".jpeg", ".tif", ".bmp"):
+    if ext in (".tif", ".tiff"):
+        # pyramidal/tiled TIFFs get the native parser; plain single-image
+        # tiffs fall back to the cv2 loader
+        from .tiff_reader import TiffSlideReader
+
+        try:
+            return TiffSlideReader(path, mpp=mpp)
+        except ValueError:
+            return ImageReader(path, mpp=mpp or 0.5)
+    if ext in (".png", ".jpg", ".jpeg", ".bmp"):
         return ImageReader(path, mpp=mpp or 0.5)
     if ext == ".jp2":
         try:
@@ -342,10 +351,12 @@ def open_wsi(path: str, mpp: Optional[float] = None) -> WSIReader:
     if ext in (".svs", ".ndpi", ".mrxs", ".scn", ".vms", ".vmu", ".svslide"):
         try:
             return OpenSlideReader(path)
-        except ImportError as exc:
-            raise RuntimeError(
-                f"{path}: pyramidal format requires openslide, which is not "
-                "available in this environment; convert to an .npy pyramid "
-                "directory (level_0.npy + meta.yml)"
-            ) from exc
+        except ImportError:
+            pass
+        # native fallback: SVS is a JPEG-tiled multi-IFD TIFF the built-in
+        # parser reads without OpenSlide (wsi/tiff_reader.py); the other
+        # vendor formats are TIFF-based too and parse when not J2K-coded
+        from .tiff_reader import TiffSlideReader
+
+        return TiffSlideReader(path, mpp=mpp)
     raise ValueError(f"unsupported slide format: {path}")

@@ -1,0 +1,268 @@
+"""Pure-Python TIFF / Aperio SVS slide reader (no OpenSlide dependency).
+
+The reference reads ``.svs`` through OpenSlide (``misc/wsi_handler.py:
+303-320``), a C library absent from many deployment images. An SVS file
+is a multi-IFD TIFF whose pyramid levels are JPEG-compressed tile grids,
+so a container parser plus cv2's JPEG decoder covers the format natively:
+
+  * classic TIFF and BigTIFF, little/big endian;
+  * tiled and stripped IFDs; compression: none (1), JPEG (7, with the
+    shared-JPEGTables merge), deflate (8/32946 via zlib). Aperio's J2K
+    variants (33003/33005) and legacy LZW raise a clear error;
+  * pyramid levels = IFDs whose aspect matches the baseline (Aperio
+    label/macro images differ in aspect and are skipped);
+  * mpp from the Aperio ImageDescription (``|MPP = 0.25|``) or the
+    XResolution/ResolutionUnit tags.
+
+Reads decode only the tiles covering the requested window (LRU-cached),
+so window reads are O(window), independent of slide size. Plugs into the
+``WSIReader`` API (reader.py): ``_read_level`` + level metadata.
+"""
+from __future__ import annotations
+
+import re
+import struct
+import zlib
+from functools import lru_cache
+from typing import Dict, List, Optional, Tuple
+
+import cv2
+import numpy as np
+
+from .reader import SlideInfo, WSIReader
+
+# TIFF tag ids consumed here
+_TAGS = {
+    256: "width", 257: "height", 258: "bits", 259: "compression",
+    262: "photometric", 270: "description", 273: "strip_offsets",
+    277: "spp", 278: "rows_per_strip", 279: "strip_counts",
+    282: "xres", 296: "res_unit",
+    322: "tile_w", 323: "tile_h", 324: "tile_offsets", 325: "tile_counts",
+    347: "jpeg_tables",
+}
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
+               10: 8, 11: 4, 12: 8, 16: 8, 17: 8, 18: 8}
+_TYPE_FMT = {1: "B", 3: "H", 4: "I", 8: "h", 9: "i", 16: "Q", 17: "q"}
+
+
+class _IFD:
+    __slots__ = ("tags",)
+
+    def __init__(self):
+        self.tags: Dict[str, object] = {}
+
+    def __getattr__(self, name):
+        try:
+            return self.tags[name]
+        except KeyError:
+            raise AttributeError(name) from None
+
+    def get(self, name, default=None):
+        return self.tags.get(name, default)
+
+
+def _read_values(handle, endian, vtype, count, raw):
+    """Decode an IFD entry's values from its inline bytes or offset."""
+    size = _TYPE_SIZES.get(vtype)
+    if size is None:
+        return None
+    total = size * count
+    if total > len(raw):
+        (offset,) = struct.unpack(endian + ("Q" if len(raw) == 8 else "I"),
+                                  raw[:8 if len(raw) == 8 else 4])
+        handle.seek(offset)
+        data = handle.read(total)
+    else:
+        data = raw[:total]
+    if vtype == 2:  # ascii
+        return data.split(b"\0")[0].decode("ascii", "replace")
+    if vtype in (5, 10):  # rational
+        vals = struct.unpack(endian + ("II" if vtype == 5 else "ii") * count,
+                             data)
+        return [vals[i] / vals[i + 1] if vals[i + 1] else 0.0
+                for i in range(0, 2 * count, 2)]
+    if vtype in (6, 7):  # raw bytes
+        return data
+    fmt = _TYPE_FMT.get(vtype)
+    if fmt is None:
+        return None
+    vals = struct.unpack(endian + fmt * count, data)
+    return list(vals) if count > 1 else vals[0]
+
+
+def _parse_tiff(path: str) -> Tuple[List[_IFD], str]:
+    """Parse every IFD; returns (ifds, endian)."""
+    ifds: List[_IFD] = []
+    with open(path, "rb") as handle:
+        header = handle.read(8)
+        if header[:2] == b"II":
+            endian = "<"
+        elif header[:2] == b"MM":
+            endian = ">"
+        else:
+            raise ValueError(f"{path}: not a TIFF file")
+        (version,) = struct.unpack(endian + "H", header[2:4])
+        big = version == 43
+        if big:
+            handle.seek(8)
+            (next_ifd,) = struct.unpack(endian + "Q", handle.read(8))
+        elif version == 42:
+            (next_ifd,) = struct.unpack(endian + "I", header[4:8])
+        else:
+            raise ValueError(f"{path}: unknown TIFF version {version}")
+
+        entry_fmt = (endian + "HHQ", 20, "Q", 8) if big \
+            else (endian + "HHI", 12, "I", 4)
+        while next_ifd:
+            handle.seek(next_ifd)
+            if big:
+                (n_entries,) = struct.unpack(endian + "Q", handle.read(8))
+            else:
+                (n_entries,) = struct.unpack(endian + "H", handle.read(2))
+            entries = handle.read(entry_fmt[1] * n_entries)
+            ifd = _IFD()
+            for i in range(n_entries):
+                raw = entries[i * entry_fmt[1]:(i + 1) * entry_fmt[1]]
+                tag, vtype, count = struct.unpack(entry_fmt[0], raw[:entry_fmt[1] - entry_fmt[3]])
+                name = _TAGS.get(tag)
+                if name is None:
+                    continue
+                pos = handle.tell()
+                ifd.tags[name] = _read_values(
+                    handle, endian, vtype, count, raw[entry_fmt[1] - entry_fmt[3]:])
+                handle.seek(pos)
+            ifds.append(ifd)
+            (next_ifd,) = struct.unpack(endian + entry_fmt[2],
+                                        handle.read(entry_fmt[3]))
+    return ifds, endian
+
+
+def _as_list(v) -> List[int]:
+    return [v] if isinstance(v, int) else list(v)
+
+
+class TiffSlideReader(WSIReader):
+    """Tiled/stripped pyramidal TIFF (incl. Aperio SVS) reader."""
+
+    def __init__(self, path: str, mpp: Optional[float] = None):
+        self.path = path
+        ifds, _endian = _parse_tiff(path)
+        if not ifds:
+            raise ValueError(f"{path}: no IFDs")
+        base = ifds[0]
+        bw, bh = int(base.width), int(base.height)
+        # pyramid levels: aspect must match the baseline (Aperio label /
+        # macro images have different aspect); keep descending sizes
+        self._levels: List[_IFD] = [base]
+        for ifd in ifds[1:]:
+            w, h = int(ifd.width), int(ifd.height)
+            if w >= bw or h >= bh:
+                continue
+            if abs((w / h) - (bw / bh)) / (bw / bh) > 0.02:
+                continue
+            # Aperio IFD1 is a stripped mid-size thumbnail whose aspect
+            # also matches — treat it as a level only when no tiled level
+            # of similar size exists; keeping it is harmless (reads just
+            # pick the best-fitting downsample)
+            self._levels.append(ifd)
+        self._levels.sort(key=lambda i: -int(i.width))
+        self._level_downsamples = [bw / int(l.width) for l in self._levels]
+
+        if mpp is None:
+            mpp = self._parse_mpp(base)
+        if mpp is None:
+            raise ValueError(
+                f"{path}: no MPP in ImageDescription/XResolution; pass "
+                "mpp= explicitly")
+        power = None
+        desc = base.get("description", "") or ""
+        m = re.search(r"AppMag\s*=\s*([0-9.]+)", desc)
+        if m:
+            power = float(m.group(1))
+        self.info = SlideInfo(mpp=float(mpp), slide_dimensions=(bw, bh),
+                              objective_power=power)
+        self._decode_tile = lru_cache(maxsize=256)(self._decode_tile_impl)
+
+    @staticmethod
+    def _parse_mpp(ifd: _IFD) -> Optional[float]:
+        desc = ifd.get("description", "") or ""
+        m = re.search(r"MPP\s*=\s*([0-9.]+)", desc)
+        if m:
+            return float(m.group(1))
+        xres = ifd.get("xres")
+        unit = ifd.get("res_unit", 2)
+        if xres:
+            xres = xres[0] if isinstance(xres, list) else xres
+            if xres > 0:
+                per_um = {2: 25400.0, 3: 10000.0}.get(int(unit))
+                if per_um:
+                    return per_um / xres
+        return None
+
+    # -- tile / strip decoding -------------------------------------------
+    def _decode_tile_impl(self, lvl: int, idx: int) -> np.ndarray:
+        ifd = self._levels[lvl]
+        tiled = "tile_offsets" in ifd.tags
+        offsets = _as_list(ifd.tile_offsets if tiled else ifd.strip_offsets)
+        counts = _as_list(ifd.tile_counts if tiled else ifd.strip_counts)
+        with open(self.path, "rb") as handle:
+            handle.seek(offsets[idx])
+            data = handle.read(counts[idx])
+        comp = int(ifd.get("compression", 1))
+        if tiled:
+            th, tw = int(ifd.tile_h), int(ifd.tile_w)
+        else:
+            tw = int(ifd.width)
+            rps = int(ifd.get("rows_per_strip", ifd.height))
+            th = min(rps, int(ifd.height) - idx * rps)
+        spp = int(ifd.get("spp", 3))
+        if comp == 1:
+            arr = np.frombuffer(data, np.uint8)
+            arr = arr[:th * tw * spp].reshape(th, tw, spp)
+            return arr[..., :3] if spp >= 3 else \
+                np.repeat(arr[..., :1], 3, axis=-1)
+        if comp in (8, 32946):  # deflate
+            raw = np.frombuffer(zlib.decompress(data), np.uint8)
+            raw = raw[:th * tw * spp].reshape(th, tw, spp)
+            return raw[..., :3] if spp >= 3 else \
+                np.repeat(raw[..., :1], 3, axis=-1)
+        if comp == 7:  # new-style JPEG (+ optional shared tables)
+            tables = ifd.get("jpeg_tables")
+            if tables and len(tables) > 4 and data[:2] == b"\xff\xd8":
+                # tables stream: SOI..tables..EOI; tile: SOI..scan..EOI
+                data = bytes(tables[:-2]) + data[2:]
+            img = cv2.imdecode(np.frombuffer(data, np.uint8),
+                               cv2.IMREAD_COLOR)
+            if img is None:
+                raise ValueError(f"{self.path}: JPEG tile decode failed")
+            return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        if comp in (33003, 33005):
+            raise ValueError(
+                f"{self.path}: Aperio J2K compression ({comp}) needs a "
+                "JPEG2000 codec; re-export as JPEG SVS or an .npy pyramid")
+        raise ValueError(f"{self.path}: unsupported TIFF compression {comp}")
+
+    def _read_level(self, lvl, x0, y0, x1, y1) -> np.ndarray:
+        ifd = self._levels[lvl]
+        w, h = int(ifd.width), int(ifd.height)
+        tiled = "tile_offsets" in ifd.tags
+        if tiled:
+            th, tw = int(ifd.tile_h), int(ifd.tile_w)
+        else:
+            tw = w
+            th = int(ifd.get("rows_per_strip", h))
+        tiles_across = -(-w // tw)
+        out = np.zeros((y1 - y0, x1 - x0, 3), np.uint8)
+        for ty in range(y0 // th, -(-y1 // th)):
+            for tx in range(x0 // tw, -(-x1 // tw)):
+                idx = ty * tiles_across + tx
+                tile = self._decode_tile(lvl, idx)
+                # tile-grid coords -> level coords -> output window
+                gy0, gx0 = ty * th, tx * tw
+                sy0 = max(y0, gy0); sy1 = min(y1, gy0 + tile.shape[0], h)
+                sx0 = max(x0, gx0); sx1 = min(x1, gx0 + tile.shape[1], w)
+                if sy1 <= sy0 or sx1 <= sx0:
+                    continue
+                out[sy0 - y0:sy1 - y0, sx0 - x0:sx1 - x0] = \
+                    tile[sy0 - gy0:sy1 - gy0, sx0 - gx0:sx1 - gx0]
+        return out
