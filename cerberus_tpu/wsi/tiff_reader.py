@@ -7,8 +7,9 @@ so a container parser plus cv2's JPEG decoder covers the format natively:
 
   * classic TIFF and BigTIFF, little/big endian;
   * tiled and stripped IFDs; compression: none (1), JPEG (7, with the
-    shared-JPEGTables merge), deflate (8/32946 via zlib). Aperio's J2K
-    variants (33003/33005) and legacy LZW raise a clear error;
+    shared-JPEGTables merge), deflate (8/32946 via zlib), LZW (5, the
+    TIFF6 early-change variant). Aperio's J2K variants (33003/33005)
+    raise a clear error;
   * pyramid levels = IFDs whose aspect matches the baseline (Aperio
     label/macro images differ in aspect and are skipped);
   * mpp from the Aperio ImageDescription (``|MPP = 0.25|``) or the
@@ -141,6 +142,52 @@ def _as_list(v) -> List[int]:
     return [v] if isinstance(v, int) else list(v)
 
 
+def _lzw_decode(data: bytes) -> bytes:
+    """TIFF-variant LZW (MSB-first codes, early change — TIFF6 §13)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    table: List[bytes] = []
+
+    def reset():
+        table.clear()
+        table.extend(bytes([i]) for i in range(256))
+        table.extend((b"", b""))  # clear / eoi placeholders
+
+    reset()
+    bitbuf = bitcnt = 0
+    width = 9
+    prev: Optional[bytes] = None
+    for byte in data:
+        bitbuf = (bitbuf << 8) | byte
+        bitcnt += 8
+        while bitcnt >= width:
+            code = (bitbuf >> (bitcnt - width)) & ((1 << width) - 1)
+            bitcnt -= width
+            if code == CLEAR:
+                reset()
+                width = 9
+                prev = None
+                continue
+            if code == EOI:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            else:  # KwKwK case
+                entry = prev + prev[:1]
+                table.append(entry)
+            out += entry
+            prev = entry
+            # TIFF's "early change", plus the decoder's one-entry lag
+            # behind the encoder: widen one code earlier than the table
+            # size alone suggests
+            if len(table) >= (1 << width) - 2 and width < 12:
+                width += 1
+    return bytes(out)
+
+
 class TiffSlideReader(WSIReader):
     """Tiled/stripped pyramidal TIFF (incl. Aperio SVS) reader."""
 
@@ -221,8 +268,10 @@ class TiffSlideReader(WSIReader):
             arr = arr[:th * tw * spp].reshape(th, tw, spp)
             return arr[..., :3] if spp >= 3 else \
                 np.repeat(arr[..., :1], 3, axis=-1)
-        if comp in (8, 32946):  # deflate
-            raw = np.frombuffer(zlib.decompress(data), np.uint8)
+        if comp in (5, 8, 32946):  # LZW / deflate
+            blob = (zlib.decompress(data) if comp != 5
+                    else _lzw_decode(data))
+            raw = np.frombuffer(blob, np.uint8)
             raw = raw[:th * tw * spp].reshape(th, tw, spp)
             return raw[..., :3] if spp >= 3 else \
                 np.repeat(raw[..., :1], 3, axis=-1)

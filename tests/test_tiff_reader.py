@@ -198,3 +198,113 @@ def test_open_wsi_dispatches_svs(tmp_path, slide_arrays):
     assert isinstance(r, TiffSlideReader)
     thumb = r.slide_thumbnail(resolution=2.0, units="mpp")
     assert thumb.shape[:2] == (25, 31)
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """Minimal TIFF-LZW encoder (early change) for the roundtrip test."""
+    CLEAR, EOI = 256, 257
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    out = bytearray()
+    bitbuf = bitcnt = 0
+
+    def emit(code, w):
+        nonlocal bitbuf, bitcnt
+        bitbuf = (bitbuf << w) | code
+        bitcnt += w
+        while bitcnt >= 8:
+            out.append((bitbuf >> (bitcnt - 8)) & 0xFF)
+            bitcnt -= 8
+
+    emit(CLEAR, width)
+    prev = b""
+    for b in data:
+        cur = prev + bytes([b])
+        if cur in table:
+            prev = cur
+            continue
+        emit(table[prev], width)
+        table[cur] = next_code
+        next_code += 1
+        # early change: widen when the NEXT code would not fit
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        if next_code >= 4094:
+            emit(CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        prev = bytes([b])
+    if prev:
+        emit(table[prev], width)
+    emit(EOI, width)
+    if bitcnt:
+        out.append((bitbuf << (8 - bitcnt)) & 0xFF)
+    return bytes(out)
+
+
+def test_lzw_roundtrip_and_tiff(tmp_path, slide_arrays):
+    from cerberus_tpu.wsi.tiff_reader import _lzw_decode
+
+    rng = np.random.default_rng(5)
+    for blob in (b"TOBEORNOTTOBEORTOBEORNOT" * 40,
+                 rng.integers(0, 256, 5000).astype(np.uint8).tobytes(),
+                 bytes(3000)):
+        assert _lzw_decode(_lzw_encode(blob)) == blob
+
+    # whole-file path: write an LZW-compressed tiled TIFF by swapping the
+    # tile encoder (compression tag 5)
+    lv0, _ = slide_arrays
+    path = str(tmp_path / "lzw.tif")
+    import cerberus_tpu.wsi.tiff_reader as tr
+
+    _write_tiff_lzw(path, lv0)
+    r = tr.TiffSlideReader(path, mpp=0.5)
+    got = r.read_bounds([10, 20, 120, 140], resolution=0.5, units="mpp")
+    np.testing.assert_array_equal(got, lv0[20:140, 10:120])
+
+
+def _write_tiff_lzw(path, img, tile=64):
+    """Single-level LZW tiled TIFF via the generic writer with encoded
+    tiles spliced in (compression tag 5)."""
+    import struct as _s
+
+    h, w = img.shape[:2]
+    out = bytearray(b"II" + _s.pack("<HI", 42, 0))
+
+    def pad():
+        while len(out) % 2:
+            out.extend(b"\0")
+
+    offsets, counts = [], []
+    for ty in range(-(-h // tile)):
+        for tx in range(-(-w // tile)):
+            t = np.zeros((tile, tile, 3), np.uint8)
+            sub = img[ty * tile:(ty + 1) * tile, tx * tile:(tx + 1) * tile]
+            t[:sub.shape[0], :sub.shape[1]] = sub
+            data = _lzw_encode(t.tobytes())
+            pad()
+            offsets.append(len(out)); counts.append(len(data))
+            out += data
+    entries = [(256, 4, 1, [w]), (257, 4, 1, [h]), (258, 3, 3, [8, 8, 8]),
+               (259, 3, 1, [5]), (262, 3, 1, [2]), (277, 3, 1, [3]),
+               (322, 4, 1, [tile]), (323, 4, 1, [tile]),
+               (324, 4, len(offsets), offsets),
+               (325, 4, len(counts), counts)]
+    blob_at = {}
+    for tag, vtype, count, vals in entries:
+        data = _s.pack("<" + {3: "H", 4: "I"}[vtype] * count, *vals)
+        if len(data) > 4:
+            pad(); blob_at[tag] = len(out); out += data
+    pad()
+    ifd = len(out)
+    out += _s.pack("<H", len(entries))
+    for tag, vtype, count, vals in entries:
+        data = _s.pack("<" + {3: "H", 4: "I"}[vtype] * count, *vals)
+        field = (_s.pack("<I", blob_at[tag]) if len(data) > 4
+                 else data + b"\0" * (4 - len(data)))
+        out += _s.pack("<HHI", tag, vtype, count) + field
+    out += b"\0\0\0\0"
+    _s.pack_into("<I", out, 4, ifd)
+    open(path, "wb").write(out)
