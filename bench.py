@@ -191,6 +191,38 @@ def main() -> None:
         flops_per_tile = 95e9
     achieved_tflops = fwd_tps * flops_per_tile / 1e12
 
+    # device-side truth: trace 3 e2e steps and read the TPU lane's
+    # jit_step spans from the Chrome trace — ON-DEVICE execution time,
+    # independent of the tunnel's dispatch/D2H latency (the wall-clock
+    # headline is tunnel-bound whenever mfu_vs_probe >> 1). Measured
+    # 202 t/s device-side at batch 128 on a chip walling 39 t/s.
+    device_tps = None
+    try:
+        import glob
+        import gzip
+        import shutil
+        import tempfile
+
+        prof_dir = tempfile.mkdtemp(prefix="bench_prof_")
+        with jax.profiler.trace(prof_dir):
+            for _ in range(3):
+                jax.tree.map(np.asarray, forward_postproc(params, imgs))
+        path = sorted(glob.glob(
+            f"{prof_dir}/plugins/profile/*/*.trace.json.gz"))[-1]
+        with gzip.open(path) as handle:
+            trace = json.load(handle)
+        tpu_pids = {e["pid"] for e in trace.get("traceEvents", [])
+                    if e.get("ph") == "M" and e.get("name") == "process_name"
+                    and "TPU" in e.get("args", {}).get("name", "")}
+        dev_us = sum(e["dur"] for e in trace.get("traceEvents", [])
+                     if e.get("ph") == "X" and e.get("pid") in tpu_pids
+                     and e.get("name", "").startswith("jit_"))
+        if dev_us > 0:
+            device_tps = BATCH * 3 / (dev_us / 1e6)
+        shutil.rmtree(prof_dir, ignore_errors=True)
+    except Exception:
+        device_tps = None
+
     # condition probe: the shared tunneled chip swings 5-25x with external
     # contention (CLAUDE.md); record matmul TF/s alongside the result so a
     # low number is attributable (healthy v5e peak is ~197 TF bf16)
@@ -209,6 +241,10 @@ def main() -> None:
         "vs_baseline": round(e2e_tps / EST_REFERENCE_TILES_PER_SEC, 2),
         "forward_only_tiles_per_sec": round(fwd_tps, 2),
         "chip_condition_probe_tflops_bf16": round(probe_tflops, 1),
+        # on-device e2e throughput from trace spans: what THIS chip
+        # executes, with the shared tunnel's dispatch/D2H latency excluded
+        **({"device_side_tiles_per_sec": round(device_tps, 1)}
+           if device_tps else {}),
         **({"dense_mode_forward": dense} if dense else {}),
         # MFU stated two ways: against v5e peak (197 TF bf16) and against
         # what the shared tunneled chip can actually deliver RIGHT NOW

@@ -30,10 +30,13 @@ import numpy as np
 from . import lax_postproc as L
 
 
-# the pallas CC kernel keeps ~3 s32 planes resident in VMEM (16 MB scoped
-# budget on v5e); beyond this pixel count it OOMs at compile time, so big
-# canvases (stitched batches, 4096^2 WSI postproc tiles) take the lax path
-_PALLAS_CC_MAX_PIXELS = 1_000_000
+# the VMEM-resident pallas CC kernel costs ~27 B/px of scoped VMEM when
+# embedded in the fused postproc programs (measured: a 576x1152 = 663k px
+# canvas compiles to a 17.6 MB scoped allocation vs the 16 MB v5e limit),
+# so the resident kernel is capped well under that; bigger canvases
+# (stitched batches, 4096^2 WSI postproc tiles) take the blocked-strip
+# kernel (pallas_cc_blocked), which holds only strips in VMEM
+_PALLAS_CC_MAX_PIXELS = 400_000
 
 
 def pad_to_512(arr: np.ndarray) -> np.ndarray:
