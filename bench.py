@@ -50,6 +50,9 @@ EST_REFERENCE_TILES_PER_SEC = 25.0
 MEASURED_TORCH_CPU_1CORE = 0.13
 
 
+PARTIAL: dict = {}  # fields already measured, reported even on a wedge
+
+
 def _watchdog(seconds: int = 480) -> None:
     """The tunneled dev chip intermittently wedges (ops hang indefinitely);
     emit a diagnostic JSON line instead of hanging the harness."""
@@ -63,6 +66,9 @@ def _watchdog(seconds: int = 480) -> None:
             "unit": "tiles/s",
             "vs_baseline": 0.0,
             "note": f"device unresponsive for {seconds}s (tunnel wedged)",
+            # anything measured before the wedge (device-side trace runs
+            # FIRST precisely so it survives a tunnel collapse mid-bench)
+            **PARTIAL,
         }), flush=True)
         import os
 
@@ -151,6 +157,52 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         return batch_n * iters / best
 
+    # device-side truth FIRST (so a tunnel collapse mid-bench still
+    # reports it via the watchdog's PARTIAL): trace 3 e2e steps and read
+    # the TPU lane's jit spans from the Chrome trace — ON-DEVICE execution
+    # time, independent of the tunnel's dispatch/D2H latency (the
+    # wall-clock headline is tunnel-bound whenever mfu_vs_probe >> 1).
+    # Measured 202 t/s device-side at batch 128 on a chip walling 39 t/s.
+    device_tps = None
+    try:
+        import glob
+        import gzip
+        import shutil
+        import tempfile
+
+        jax.tree.map(np.asarray, forward_postproc(params, imgs))  # compile
+        prof_dir = tempfile.mkdtemp(prefix="bench_prof_")
+        with jax.profiler.trace(prof_dir):
+            for _ in range(3):
+                jax.tree.map(np.asarray, forward_postproc(params, imgs))
+        path = sorted(glob.glob(
+            f"{prof_dir}/plugins/profile/*/*.trace.json.gz"))[-1]
+        with gzip.open(path) as handle:
+            trace = json.load(handle)
+        tpu_pids = {e["pid"] for e in trace.get("traceEvents", [])
+                    if e.get("ph") == "M" and e.get("name") == "process_name"
+                    and "TPU" in e.get("args", {}).get("name", "")}
+        dev_us = sum(e["dur"] for e in trace.get("traceEvents", [])
+                     if e.get("ph") == "X" and e.get("pid") in tpu_pids
+                     and e.get("name", "").startswith("jit_"))
+        if dev_us > 0:
+            device_tps = BATCH * 3 / (dev_us / 1e6)
+            PARTIAL["device_side_tiles_per_sec"] = round(device_tps, 1)
+        shutil.rmtree(prof_dir, ignore_errors=True)
+    except Exception:
+        device_tps = None
+
+    # condition probe early too (cheap, and attributes a later wedge):
+    # the shared tunneled chip swings 5-25x with external contention
+    # (CLAUDE.md); healthy v5e peak is ~197 TF bf16
+    x = jnp.ones((4096, 4096), jnp.bfloat16)
+    mm = jax.jit(lambda a: a @ a)
+    np.asarray(mm(x))
+    t0 = time.perf_counter()
+    np.asarray(mm(x))
+    probe_tflops = 2 * 4096 ** 3 / (time.perf_counter() - t0) / 1e12
+    PARTIAL["chip_condition_probe_tflops_bf16"] = round(probe_tflops, 1)
+
     fwd_tps = timed(forward, ITERS)
     e2e_tps = timed(forward_postproc, max(3, ITERS // 2))
 
@@ -190,48 +242,6 @@ def main() -> None:
     except Exception:
         flops_per_tile = 95e9
     achieved_tflops = fwd_tps * flops_per_tile / 1e12
-
-    # device-side truth: trace 3 e2e steps and read the TPU lane's
-    # jit_step spans from the Chrome trace — ON-DEVICE execution time,
-    # independent of the tunnel's dispatch/D2H latency (the wall-clock
-    # headline is tunnel-bound whenever mfu_vs_probe >> 1). Measured
-    # 202 t/s device-side at batch 128 on a chip walling 39 t/s.
-    device_tps = None
-    try:
-        import glob
-        import gzip
-        import shutil
-        import tempfile
-
-        prof_dir = tempfile.mkdtemp(prefix="bench_prof_")
-        with jax.profiler.trace(prof_dir):
-            for _ in range(3):
-                jax.tree.map(np.asarray, forward_postproc(params, imgs))
-        path = sorted(glob.glob(
-            f"{prof_dir}/plugins/profile/*/*.trace.json.gz"))[-1]
-        with gzip.open(path) as handle:
-            trace = json.load(handle)
-        tpu_pids = {e["pid"] for e in trace.get("traceEvents", [])
-                    if e.get("ph") == "M" and e.get("name") == "process_name"
-                    and "TPU" in e.get("args", {}).get("name", "")}
-        dev_us = sum(e["dur"] for e in trace.get("traceEvents", [])
-                     if e.get("ph") == "X" and e.get("pid") in tpu_pids
-                     and e.get("name", "").startswith("jit_"))
-        if dev_us > 0:
-            device_tps = BATCH * 3 / (dev_us / 1e6)
-        shutil.rmtree(prof_dir, ignore_errors=True)
-    except Exception:
-        device_tps = None
-
-    # condition probe: the shared tunneled chip swings 5-25x with external
-    # contention (CLAUDE.md); record matmul TF/s alongside the result so a
-    # low number is attributable (healthy v5e peak is ~197 TF bf16)
-    x = jnp.ones((4096, 4096), jnp.bfloat16)
-    mm = jax.jit(lambda a: a @ a)
-    np.asarray(mm(x))
-    t0 = time.perf_counter()
-    np.asarray(mm(x))
-    probe_tflops = 2 * 4096 ** 3 / (time.perf_counter() - t0) / 1e12
 
     print(json.dumps({
         "metric": "448^2 tiles/sec/chip (6-head forward+postproc to instance "
