@@ -271,9 +271,20 @@ class InferManager(BaseInferManager):
                             continue
                     if stop.is_set():
                         return
-                read_q.put(_END)
+                _bounded_put(_END)
             except BaseException as exc:  # surfaced in the main loop
-                read_q.put(exc)
+                _bounded_put(exc)
+
+        def _bounded_put(item):
+            # the sentinel/exception put must be stop-aware too: a plain
+            # put() into the full depth-2 queue blocks forever when the
+            # main loop has already raised, stalling join() below
+            while not stop.is_set():
+                try:
+                    read_q.put(item, timeout=0.5)
+                    return
+                except queue.Full:
+                    continue
 
         reader_thread = threading.Thread(target=read_worker, daemon=True)
         reader_thread.start()

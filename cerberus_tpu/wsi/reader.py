@@ -334,9 +334,14 @@ def open_wsi(path: str, mpp: Optional[float] = None) -> WSIReader:
         # tiffs fall back to the cv2 loader
         from .tiff_reader import TiffSlideReader
 
+        # struct.error covers truncated/corrupt containers; unsupported
+        # codecs (e.g. PackBits) raise ValueError at open time because
+        # TiffSlideReader validates every level's compression tag up front
+        import struct
+
         try:
             return TiffSlideReader(path, mpp=mpp)
-        except ValueError:
+        except (ValueError, struct.error):
             return ImageReader(path, mpp=mpp or 0.5)
     if ext in (".png", ".jpg", ".jpeg", ".bmp"):
         return ImageReader(path, mpp=mpp or 0.5)

@@ -8,8 +8,8 @@ so a container parser plus cv2's JPEG decoder covers the format natively:
   * classic TIFF and BigTIFF, little/big endian;
   * tiled and stripped IFDs; compression: none (1), JPEG (7, with the
     shared-JPEGTables merge), deflate (8/32946 via zlib), LZW (5, the
-    TIFF6 early-change variant). Aperio's J2K variants (33003/33005)
-    raise a clear error;
+    TIFF6 early-change variant), Aperio J2K (33003/33005 via cv2's
+    OpenJPEG); LZW/deflate honor the horizontal predictor (tag 317);
   * pyramid levels = IFDs whose aspect matches the baseline (Aperio
     label/macro images differ in aspect and are skipped);
   * mpp from the Aperio ImageDescription (``|MPP = 0.25|``) or the
@@ -37,7 +37,7 @@ _TAGS = {
     256: "width", 257: "height", 258: "bits", 259: "compression",
     262: "photometric", 270: "description", 273: "strip_offsets",
     277: "spp", 278: "rows_per_strip", 279: "strip_counts",
-    282: "xres", 296: "res_unit",
+    282: "xres", 296: "res_unit", 317: "predictor",
     322: "tile_w", 323: "tile_h", 324: "tile_offsets", 325: "tile_counts",
     347: "jpeg_tables",
 }
@@ -188,6 +188,31 @@ def _lzw_decode(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _j2k_mct_enabled(cs: bytes) -> bool:
+    """Whether a J2K codestream's COD marker enables the multiple-component
+    transform (so OpenJPEG's output is already RGB). COD sits in the main
+    header right after SIZ, so the first FF52 is the marker:
+    marker(2) Lcod(2) Scod(1) order(1) layers(2) MCT(1)."""
+    i = cs.find(b"\xff\x52")
+    return 0 <= i and len(cs) > i + 8 and cs[i + 8] == 1
+
+
+_CV2_QUIETED = False
+
+
+def _quiet_cv2_decoder() -> None:
+    """OpenJPEG warns per tile about the unspecified colorspace of raw
+    codestreams; silence once (a 100k-tile slide would log 100k lines)."""
+    global _CV2_QUIETED
+    if _CV2_QUIETED:
+        return
+    _CV2_QUIETED = True
+    try:
+        cv2.utils.logging.setLogLevel(cv2.utils.logging.LOG_LEVEL_ERROR)
+    except Exception:
+        pass
+
+
 class TiffSlideReader(WSIReader):
     """Tiled/stripped pyramidal TIFF (incl. Aperio SVS) reader."""
 
@@ -214,6 +239,14 @@ class TiffSlideReader(WSIReader):
             self._levels.append(ifd)
         self._levels.sort(key=lambda i: -int(i.width))
         self._level_downsamples = [bw / int(l.width) for l in self._levels]
+        # fail at OPEN time on codecs we can't decode (not at first read,
+        # after a caller has already committed to this reader): lets
+        # open_wsi's plain-tiff fallback actually trigger for e.g. PackBits
+        for ifd in self._levels:
+            comp = int(ifd.get("compression", 1))
+            if comp not in (1, 5, 7, 8, 32946, 33003, 33005):
+                raise ValueError(
+                    f"{path}: unsupported TIFF compression {comp}")
 
         if mpp is None:
             mpp = self._parse_mpp(base)
@@ -273,6 +306,16 @@ class TiffSlideReader(WSIReader):
                     else _lzw_decode(data))
             raw = np.frombuffer(blob, np.uint8)
             raw = raw[:th * tw * spp].reshape(th, tw, spp)
+            # tag 317: LZW/deflate rows are very commonly stored as
+            # horizontal differences (predictor 2, TIFF6 §14); reconstruct
+            # by per-channel cumulative sum mod 256. Anything else
+            # (predictor 3 = float) must fail loudly, not scramble pixels.
+            pred = int(ifd.get("predictor", 1))
+            if pred == 2:
+                raw = np.cumsum(raw, axis=1, dtype=np.uint8)
+            elif pred != 1:
+                raise ValueError(
+                    f"{self.path}: unsupported TIFF predictor {pred}")
             return raw[..., :3] if spp >= 3 else \
                 np.repeat(raw[..., :1], 3, axis=-1)
         if comp == 7:  # new-style JPEG (+ optional shared tables)
@@ -286,9 +329,26 @@ class TiffSlideReader(WSIReader):
                 raise ValueError(f"{self.path}: JPEG tile decode failed")
             return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
         if comp in (33003, 33005):
-            raise ValueError(
-                f"{self.path}: Aperio J2K compression ({comp}) needs a "
-                "JPEG2000 codec; re-export as JPEG SVS or an .npy pyramid")
+            # Aperio J2K (33003 YCbCr / 33005 RGB wavelets): tiles are raw
+            # JPEG2000 codestreams; cv2 ships OpenJPEG and decodes them
+            # directly (the reference reaches these via OpenSlide,
+            # misc/wsi_handler.py:303-320). OpenJPEG already undoes the
+            # in-stream component transform when the COD marker signals it;
+            # only MCT-less 33003 streams carry raw Y,Cb,Cr planes that we
+            # must convert ourselves (same assumption OpenSlide's Aperio
+            # driver makes from the compression tag).
+            _quiet_cv2_decoder()
+            img = cv2.imdecode(np.frombuffer(data, np.uint8),
+                               cv2.IMREAD_COLOR)
+            if img is None:
+                raise ValueError(
+                    f"{self.path}: J2K tile decode failed (OpenJPEG)")
+            if comp == 33003 and not _j2k_mct_enabled(data):
+                # imdecode read the (Y,Cb,Cr) components as if RGB and
+                # returned "BGR" = (Cr,Cb,Y); regroup to (Y,Cr,Cb)
+                return cv2.cvtColor(img[..., [2, 0, 1]],
+                                    cv2.COLOR_YCrCb2RGB)
+            return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
         raise ValueError(f"{self.path}: unsupported TIFF compression {comp}")
 
     def _read_level(self, lvl, x0, y0, x1, y1) -> np.ndarray:

@@ -4,6 +4,7 @@ Ground truth is the source numpy array (independent of the TIFF encoding),
 written through a minimal tiled-TIFF writer below — uncompressed, deflate
 and JPEG variants, classic and BigTIFF, Aperio-style description metadata.
 Reference surface: OpenSlide usage at ``misc/wsi_handler.py:303-320``."""
+import os
 import struct
 import zlib
 
@@ -15,9 +16,11 @@ from cerberus_tpu.wsi.tiff_reader import TiffSlideReader
 
 
 def _write_tiff(path, levels, compression=1, description=None, big=False,
-                tile=64):
+                tile=64, tile_encoder=None, extra_tags=()):
     """Minimal tiled TIFF writer (little endian). ``levels``: list of HxWx3
-    uint8 arrays, full resolution first."""
+    uint8 arrays, full resolution first. ``tile_encoder`` overrides the
+    per-tile byte encoding (the compression tag is still written as given);
+    ``extra_tags``: extra (tag, type, count, values) IFD entries."""
     out = bytearray()
     if big:
         out += b"II" + struct.pack("<HHHQ", 43, 8, 0, 0)  # offset patched
@@ -38,7 +41,9 @@ def _write_tiff(path, levels, compression=1, description=None, big=False,
                 t = np.zeros((tile, tile, 3), np.uint8)
                 sub = img[ty * tile:(ty + 1) * tile, tx * tile:(tx + 1) * tile]
                 t[:sub.shape[0], :sub.shape[1]] = sub
-                if compression == 1:
+                if tile_encoder is not None:
+                    data = tile_encoder(t)
+                elif compression == 1:
                     data = t.tobytes()
                 elif compression == 8:
                     data = zlib.compress(t.tobytes())
@@ -67,6 +72,7 @@ def _write_tiff(path, levels, compression=1, description=None, big=False,
         entries.append((323, 4, 1, [tile]))
         entries.append((324, 4, len(offsets), offsets))
         entries.append((325, 4, len(counts), counts))
+        entries.extend(extra_tags)
         entries.sort()
 
         # materialize out-of-line values
@@ -308,3 +314,199 @@ def _write_tiff_lzw(path, img, tile=64):
     out += b"\0\0\0\0"
     _s.pack_into("<I", out, 4, ifd)
     open(path, "wb").write(out)
+
+
+# -- predictor (tag 317) and Aperio J2K ----------------------------------
+
+def _hdiff(t: np.ndarray) -> bytes:
+    """Horizontal differencing (predictor 2): per-channel row diffs mod 256."""
+    d = t.astype(np.int16)
+    d[:, 1:] -= t[:, :-1].astype(np.int16)
+    return (d % 256).astype(np.uint8).tobytes()
+
+
+@pytest.mark.parametrize("compression", [5, 8])
+def test_predictor2_roundtrip(tmp_path, slide_arrays, compression):
+    lv0, _ = slide_arrays
+    enc = _lzw_encode if compression == 5 else zlib.compress
+    path = str(tmp_path / f"pred_{compression}.tif")
+    _write_tiff(path, [lv0], compression=compression,
+                tile_encoder=lambda t: enc(_hdiff(t)),
+                extra_tags=[(317, 3, 1, [2])])
+    r = TiffSlideReader(path, mpp=0.5)
+    got = r.read_bounds([10, 20, 120, 140], resolution=0.5, units="mpp")
+    np.testing.assert_array_equal(got, lv0[20:140, 10:120])
+
+
+def test_unsupported_predictor_raises(tmp_path, slide_arrays):
+    lv0, _ = slide_arrays
+    path = str(tmp_path / "pred3.tif")
+    _write_tiff(path, [lv0], compression=8, extra_tags=[(317, 3, 1, [3])])
+    r = TiffSlideReader(path, mpp=0.5)
+    with pytest.raises(ValueError, match="predictor"):
+        r.read_bounds([0, 0, 64, 64], resolution=0.5, units="mpp")
+
+
+def test_unsupported_compression_fails_at_open(tmp_path, slide_arrays):
+    """PackBits (32773) must raise at OPEN time so open_wsi's plain-tiff
+    fallback can trigger (ADVICE r2); the fallback itself needs a
+    cv2-readable file, which this fake isn't, so just assert the raise."""
+    lv0, _ = slide_arrays
+    path = str(tmp_path / "packbits.tif")
+    _write_tiff(path, [lv0], compression=32773,
+                tile_encoder=lambda t: t.tobytes())
+    with pytest.raises(ValueError, match="compression 32773"):
+        TiffSlideReader(path, mpp=0.5)
+
+
+def _j2k_codestream(t: np.ndarray) -> bytes:
+    """Encode a tile to a raw lossless J2K codestream (strip the JP2
+    container), as Aperio SVS stores them. cv2's encoder keeps MCT off, so
+    the three components are stored as the raw planes fed in (BGR order
+    reversed: imencode treats input as BGR, stores components R,G,B)."""
+    ok, enc = cv2.imencode(".jp2", cv2.cvtColor(t, cv2.COLOR_RGB2BGR),
+                           [cv2.IMWRITE_JPEG2000_COMPRESSION_X1000, 1000])
+    assert ok
+    data = enc.tobytes()
+    i = data.find(b"jp2c")
+    assert i > 0
+    cs = data[i + 4:]
+    assert cs[:2] == b"\xff\x4f"  # SOC
+    return cs
+
+
+def test_aperio_j2k_rgb_tiles(tmp_path, slide_arrays):
+    """33005 (RGB wavelet) SVS decodes via cv2's OpenJPEG — lossless
+    fixture, exact roundtrip, pyramid + window reads through the normal
+    machinery."""
+    lv0, lv1 = slide_arrays
+    path = str(tmp_path / "j2k_33005.svs")
+    _write_tiff(path, [lv0, lv1], compression=33005,
+                description="Aperio |AppMag = 40|MPP = 0.25|",
+                tile_encoder=_j2k_codestream)
+    r = TiffSlideReader(path)
+    assert r._level_downsamples == [1.0, 2.0]
+    got = r.read_bounds([30, 50, 130, 150], resolution=0.25, units="mpp")
+    np.testing.assert_array_equal(got, lv0[50:150, 30:130])
+    got1 = r.read_bounds([10, 10, 60, 50], resolution=0.5, units="mpp")
+    np.testing.assert_array_equal(got1, lv1[10:50, 10:60])
+
+
+def test_j2k_mct_flag():
+    from cerberus_tpu.wsi.tiff_reader import _j2k_mct_enabled
+
+    rgb = (np.random.default_rng(3).random((32, 32, 3)) * 255).astype(np.uint8)
+    # cv2/OpenJPEG encodes with the component transform DISABLED
+    assert not _j2k_mct_enabled(_j2k_codestream(rgb))
+    # crafted COD with MCT=1: marker(2) Lcod(2) Scod(1) order(1) layers(2) MCT(1)
+    fake = b"\xff\x4f\xff\x51" + bytes(10) + \
+        b"\xff\x52\x00\x0c\x00\x00\x00\x01\x01" + bytes(8)
+    assert _j2k_mct_enabled(fake)
+
+
+def test_aperio_j2k_ycbcr_no_mct(tmp_path, slide_arrays):
+    """33003 streams without the in-stream component transform carry raw
+    Y,Cb,Cr planes (OpenSlide's Aperio driver makes the same tag-based
+    assumption). cv2's encoder genuinely emits MCT=0, so encoding the
+    (Cr,Cb,Y)-as-BGR reorder losslessly stores components (Y,Cb,Cr) —
+    a faithful MCT-less Aperio 33003 tile."""
+    lv0, _ = slide_arrays
+    ycc = cv2.cvtColor(lv0, cv2.COLOR_RGB2YCrCb)  # (Y, Cr, Cb)
+
+    def enc(t):  # t is the RGB tile; re-derive its (Cr,Cb,Y) planes
+        tyc = cv2.cvtColor(t, cv2.COLOR_RGB2YCrCb)
+        ok, enc_ = cv2.imencode(
+            ".jp2", tyc[..., [1, 2, 0]],
+            [cv2.IMWRITE_JPEG2000_COMPRESSION_X1000, 1000])
+        assert ok
+        data = enc_.tobytes()
+        return data[data.find(b"jp2c") + 4:]
+
+    path = str(tmp_path / "j2k_ycc.svs")
+    _write_tiff(path, [lv0], compression=33003,
+                description="|MPP = 0.25|", tile_encoder=enc)
+    r = TiffSlideReader(path)
+    got = r.read_bounds([0, 0, 128, 128], resolution=0.25, units="mpp")
+    # YCbCr quantizes chroma: exact up to the RGB->YCbCr->RGB roundtrip
+    ref = cv2.cvtColor(ycc, cv2.COLOR_YCrCb2RGB)[:128, :128]
+    assert np.abs(got.astype(int) - ref.astype(int)).max() <= 1
+
+
+def test_j2k_svs_through_wsi_pipeline(tmp_path):
+    """A J2K-compressed SVS drives the full WSI pipeline end-to-end
+    (VERDICT r2 task 3): slide open -> chunk/tile reads -> inference ->
+    postproc -> dat/tissue outputs. Mirrors test_wsi_pipeline.py on an
+    SVS container instead of an .npy pyramid."""
+    import joblib
+    import yaml
+
+    import jax
+
+    from cerberus_tpu.config import (
+        DEFAULT_DECODER_KWARGS,
+        DEFAULT_TARGET_CODE,
+        DEFAULT_TARGET_LIST,
+        ModelConfig,
+    )
+    from cerberus_tpu.infer.wsi import InferManager
+    from cerberus_tpu.models.convert import save_checkpoint
+    from cerberus_tpu.models.net_desc import init_net_params
+
+    model_kwargs = {
+        "encoder_backbone_name": "resnet18",
+        "decoder_kwargs": DEFAULT_DECODER_KWARGS,
+        "considered_tasks": list(DEFAULT_DECODER_KWARGS.keys()),
+    }
+    model_dir = tmp_path / "model"
+    os.makedirs(model_dir)
+    cfg = ModelConfig.from_kwargs(model_kwargs)
+    save_checkpoint(str(model_dir / "weights.tar"),
+                    init_net_params(jax.random.PRNGKey(3), cfg))
+    with open(model_dir / "settings.yml", "w") as f:
+        yaml.safe_dump({"dataset_kwargs":
+                        {"req_target_code": dict(DEFAULT_TARGET_CODE)},
+                        "model_kwargs": model_kwargs}, f)
+
+    rng = np.random.default_rng(0)
+    lv0 = rng.integers(100, 255, (600, 700, 3), np.uint8)
+    lv1 = lv0[::2, ::2]
+    slide = tmp_path / "slide_j.svs"
+    _write_tiff(str(slide), [lv0, lv1], compression=33005,
+                description="Aperio |AppMag = 40|MPP = 0.5|",
+                tile_encoder=_j2k_codestream)
+
+    mask = np.zeros((150, 175), np.uint8)
+    mask[:, :80] = 255
+    mask_path = tmp_path / "slide_j.png"
+    cv2.imwrite(str(mask_path), mask)
+
+    output_dir = str(tmp_path / "out")
+    infer = InferManager(
+        checkpoint_path=str(model_dir / "weights.tar"),
+        decoder_dict=dict(DEFAULT_TARGET_CODE),
+        model_args=model_kwargs,
+    )
+    infer.process_wsi_list({
+        "nr_inference_workers": 2,
+        "nr_post_proc_workers": 0,
+        "batch_size": 4,
+        "input_list": [str(slide)],
+        "mask_list": [str(mask_path)],
+        "output_dir": output_dir,
+        "patch_input_shape": 144,
+        "patch_output_shape": 48,
+        "save_thumb": False,
+        "save_mask": False,
+        "postproc_list": list(DEFAULT_TARGET_LIST),
+        "tile_shape": 240,
+        "chunk_shape": 480,
+        "ambiguous_size": 16,
+        "cache_path": str(tmp_path / "cache"),
+        "logging_dir": str(tmp_path / "logging"),
+        "wsi_proc_mag": 0.5,
+    })
+    dat = joblib.load(f"{output_dir}/dat/slide_j.dat")
+    assert set(dat.keys()) >= {"Nuclei", "Gland", "Lumen"}
+    np.testing.assert_array_equal(dat["proc_dimensions"], [600, 700])
+    for inst in dat["Nuclei"].values():
+        assert inst["centroid"][0] <= 370  # masked left half + margin
