@@ -53,23 +53,60 @@ MEASURED_TORCH_CPU_1CORE = 0.13
 PARTIAL: dict = {}  # fields already measured, reported even on a wedge
 
 
+def _wedge_record(note: str) -> dict:
+    # if the e2e wall number was already measured before the wedge, report
+    # it as the headline instead of a misleading 0.0
+    value = float(PARTIAL.get("e2e_tiles_per_sec", 0.0))
+    return {
+        "metric": "448^2 tiles/sec/chip (6-head forward+postproc, bf16, "
+                  f"batch {BATCH})",
+        "value": round(value, 2),
+        "unit": "tiles/s",
+        "vs_baseline": round(value / EST_REFERENCE_TILES_PER_SEC, 2),
+        "note": note,
+        **PARTIAL,
+    }
+
+
+def _probe_with_retry(deadline: float):
+    """Run tools/probe.py in a SUBPROCESS (killable even if the tunnel
+    wedges mid-op, unlike an in-process hang) with sleep-retry until
+    ``deadline``.  Returns the probe record or None.  Runs BEFORE this
+    process touches the device, so a killed child can't poison our
+    client (VERDICT r2 task 1: retry a few times instead of dying once)."""
+    import subprocess
+    import sys
+
+    probe_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tools", "probe.py")
+    attempts: list = []
+    while True:
+        try:
+            proc = subprocess.run([sys.executable, probe_path],
+                                  capture_output=True, text=True, timeout=90)
+            rec = json.loads(proc.stdout.strip().splitlines()[-1])
+            attempts.append(rec["tflops_bf16"])
+            PARTIAL["probe_attempts_tflops"] = attempts
+            return rec
+        except Exception:
+            attempts.append("timeout")
+            PARTIAL["probe_attempts_tflops"] = attempts
+        if time.time() + 120 > deadline:
+            return None
+        time.sleep(30)
+
+
 def _watchdog(seconds: int = 480) -> None:
     """The tunneled dev chip intermittently wedges (ops hang indefinitely);
     emit a diagnostic JSON line instead of hanging the harness."""
     import signal
 
     def on_alarm(_sig, _frame):
-        print(json.dumps({
-            "metric": "448^2 tiles/sec/chip (6-head forward+postproc, bf16, "
-                      f"batch {BATCH})",
-            "value": 0.0,
-            "unit": "tiles/s",
-            "vs_baseline": 0.0,
-            "note": f"device unresponsive for {seconds}s (tunnel wedged)",
-            # anything measured before the wedge (device-side trace runs
-            # FIRST precisely so it survives a tunnel collapse mid-bench)
-            **PARTIAL,
-        }), flush=True)
+        # PARTIAL carries anything measured before the wedge (device-side
+        # trace runs FIRST precisely so it survives a mid-bench collapse)
+        print(json.dumps(_wedge_record(
+            f"device unresponsive for {seconds}s (tunnel wedged)")),
+            flush=True)
         import os
 
         os._exit(2)
@@ -79,6 +116,13 @@ def _watchdog(seconds: int = 480) -> None:
 
 
 def main() -> None:
+    global BATCH, GRID, ITERS
+    # Persist XLA executables across invocations — the same cache the CLIs
+    # use (infer/manager.py): a driver bench after any successful run this
+    # round skips the 20-40 s cold compiles that wedged BENCH_r02.
+    from cerberus_tpu.infer.manager import _enable_compilation_cache
+
+    _enable_compilation_cache()
     # scale the hang watchdog with the requested work (default knobs = the
     # driver's 480 s budget; larger sweeps must not be misreported as a
     # wedged tunnel)
@@ -86,6 +130,34 @@ def main() -> None:
     if os.environ.get("CERBERUS_BENCH_DENSE") == "1":
         budget += 300
     _watchdog(budget)
+
+    # Probe the chip via a killable subprocess BEFORE any in-process device
+    # use; sleep-retry within half the budget instead of dying once.
+    probe_rec = _probe_with_retry(time.time() + min(240, budget // 2))
+    if probe_rec is None:
+        print(json.dumps(_wedge_record(
+            "tunnel wedged: subprocess probe never completed "
+            f"({len(PARTIAL.get('probe_attempts_tflops', []))} attempts)")),
+            flush=True)
+        raise SystemExit(2)
+    probe_tflops = float(probe_rec["tflops_bf16"])
+    PARTIAL["chip_condition_probe_tflops_bf16"] = round(probe_tflops, 1)
+    # the probe phase ate into the watchdog; give the measured sections
+    # their full budget now that the chip answered
+    import signal
+
+    signal.alarm(budget)
+    # Degraded-chip scaling: at <5 TF (healthy range is 5-36) a batch-128
+    # trace step alone is ~90 s+ — shrink the work so a SLOW chip still
+    # yields a complete, honestly-labeled artifact instead of a watchdog
+    # kill. Explicit CERBERUS_BENCH_BATCH/_ITERS override this.
+    if probe_tflops < 5.0 and "CERBERUS_BENCH_BATCH" not in os.environ:
+        BATCH = 32 if probe_tflops >= 1.0 else 8
+        GRID = _grid(BATCH)
+        PARTIAL["degraded_chip_reduced_batch"] = BATCH
+    if probe_tflops < 5.0 and "CERBERUS_BENCH_ITERS" not in os.environ:
+        ITERS = 3
+
     cfg = ModelConfig.from_kwargs({
         "encoder_backbone_name": "resnet34",
         "decoder_kwargs": DEFAULT_DECODER_KWARGS,
@@ -136,8 +208,12 @@ def main() -> None:
     imgs = jax.device_put(np.clip(np.kron(
         base, np.ones((1, 8, 8, 1))) * 255, 0, 255).astype(np.uint8))
 
+    # best-of-3 on a healthy chip; single trial when degraded (the extra
+    # trials would triple an already-slow run into the watchdog)
+    trials = 3 if probe_tflops >= 5.0 else 1
+
     def timed(fn, iters, batch_imgs=None, batch_n=None):
-        """best-of-3: the shared tunneled chip shows large contention
+        """best-of-N: the shared tunneled chip shows large contention
         swings; only a D2H copy is a true barrier on this backend. Keeps
         one batch in flight (dispatch overlap) and syncs the previous."""
         batch_imgs = imgs if batch_imgs is None else batch_imgs
@@ -145,7 +221,7 @@ def main() -> None:
         for _ in range(WARMUP):
             jax.tree.map(np.asarray, fn(params, batch_imgs))
         best = float("inf")
-        for _trial in range(3):
+        for _trial in range(trials):
             t0 = time.perf_counter()
             prev = None
             for _ in range(iters):
@@ -204,7 +280,9 @@ def main() -> None:
     PARTIAL["chip_condition_probe_tflops_bf16"] = round(probe_tflops, 1)
 
     fwd_tps = timed(forward, ITERS)
+    PARTIAL["forward_only_tiles_per_sec"] = round(fwd_tps, 2)
     e2e_tps = timed(forward_postproc, max(3, ITERS // 2))
+    PARTIAL["e2e_tiles_per_sec"] = round(e2e_tps, 2)
 
     # dense inference mode (CERBERUS_BENCH_DENSE=1): 1168^2 windows with an
     # 864^2 kept core — same 152 px margin as 448->144 but ~3x fewer FLOPs
@@ -264,6 +342,9 @@ def main() -> None:
         "achieved_tflops_forward": round(achieved_tflops, 2),
         "mfu_vs_v5e_peak": round(achieved_tflops / 197.0, 3),
         "mfu_vs_probe": round(achieved_tflops / max(probe_tflops, 1e-9), 3),
+        **{k: PARTIAL[k] for k in ("probe_attempts_tflops",
+                                   "degraded_chip_reduced_batch")
+           if k in PARTIAL},
         "baseline": {
             "estimate_reference_gpu": EST_REFERENCE_TILES_PER_SEC,
             "measured_reference_torch_cpu_1core": MEASURED_TORCH_CPU_1CORE,

@@ -49,13 +49,17 @@ def main() -> None:
         # measurement enabled (1168->864 windows, 448-tile equivalents)
         env = dict(os.environ, CERBERUS_BENCH_BATCH=str(best["batch"]),
                    CERBERUS_BENCH_DENSE="1")
-        proc = subprocess.run(
-            [sys.executable, os.path.join(REPO, "bench.py")],
-            capture_output=True, text=True, cwd=REPO, env=env, timeout=1800)
         try:
+            proc = subprocess.run(
+                [sys.executable, os.path.join(REPO, "bench.py")],
+                capture_output=True, text=True, cwd=REPO, env=env,
+                timeout=1800)
             print(json.dumps({"metric": "dense-mode run",
                               **json.loads(
                                   proc.stdout.strip().splitlines()[-1])}))
+        except subprocess.TimeoutExpired:
+            print(json.dumps({"metric": "dense-mode run",
+                              "error": "subprocess timeout"}))
         except (json.JSONDecodeError, IndexError):
             print(json.dumps({"metric": "dense-mode run",
                               "error": proc.stderr[-500:]}))

@@ -1,0 +1,40 @@
+#!/bin/bash
+# Detached chip-health watcher (committed version of the round-2 /tmp
+# script — VERDICT r2 task 1).  Polls tools/probe.py every ~9 min; when
+# the tunneled chip reports >20 TF bf16 it runs the full measurement
+# suite (batch sweep 128/192/256 + dense, 49k^2 WSI windowed + dense)
+# and appends results to logging/healthy_results.log, then exits.
+#
+# Usage:  nohup bash tools/chip_watch.sh >/dev/null 2>&1 &
+#         echo $! > /tmp/chip_watch.pid     # kill $(cat ...) to stop
+set -u
+REPO="$(cd "$(dirname "$0")/.." && pwd)"
+cd "$REPO"
+LOG="$REPO/logging/chip_watch.log"
+OUT="$REPO/logging/healthy_results.log"
+mkdir -p "$REPO/logging"
+
+while true; do
+  probe=$(timeout 240 python tools/probe.py 2>/dev/null | tail -1)
+  tf=$(python - "$probe" <<'PY'
+import json, sys
+try:
+    print(json.loads(sys.argv[1])["tflops_bf16"])
+except Exception:
+    print(0)
+PY
+)
+  echo "$(date -Is) probe: ${probe:-timeout}" >> "$LOG"
+  if python -c "exit(0 if float('${tf:-0}' or 0) > 20 else 1)" 2>/dev/null; then
+    echo "$(date -Is) HEALTHY ($tf TF) - running measurement suite" >> "$LOG"
+    echo "=== probe $probe $(date -Is)" >> "$OUT"
+    timeout 3500 python tools/bench_sweep.py >> "$OUT" 2>&1
+    echo "=== bench_wsi windowed $(date -Is)" >> "$OUT"
+    timeout 3500 python tools/bench_wsi.py --size=49152 2>&1 | tail -3 >> "$OUT"
+    echo "=== bench_wsi dense $(date -Is)" >> "$OUT"
+    timeout 3500 python tools/bench_wsi.py --size=49152 --dense 2>&1 | tail -3 >> "$OUT"
+    echo "$(date -Is) suite done" >> "$LOG"
+    break
+  fi
+  sleep 540
+done
