@@ -70,12 +70,93 @@ def convert_torch_state_dict(state_dict: Dict) -> Dict:
     return params
 
 
+_TORCHVISION_HEAD_PREFIXES = ("fc.", "classifier.")
+
+
+def is_torchvision_backbone_state_dict(state_dict: Dict) -> bool:
+    """A RAW torchvision ImageNet checkpoint (``conv1.weight``,
+    ``layer1...``, ``features...``) rather than a NetDesc one (whose
+    encoder keys live under ``backbone.``)."""
+    keys = [k for k in state_dict]
+    if not keys:
+        return False
+    stripped = [k[len("module."):] if k.startswith("module.") else k
+                for k in keys]
+    return (not any(k.startswith("backbone.") for k in stripped)
+            and any(k.startswith(("conv1.", "features.", "layer1."))
+                    for k in stripped))
+
+
+def convert_torchvision_backbone(state_dict: Dict) -> Dict:
+    """torchvision ImageNet state_dict -> ``backbone.*`` param subtree.
+
+    The reference initializes its encoder from torchvision ImageNet
+    weights (``models/backbone/resnet.py:19-29,292-297``, gated by
+    ``backbone_imagenet_pretrained`` in ``models/net_desc.py:26,91``).
+    Torchvision checkpoints use bare module paths and carry a classifier
+    head (``fc.``/``classifier.``) the multi-task net doesn't have — drop
+    the head, prefix with ``backbone.``, convert per-tensor. The result is
+    a PARTIAL tree: overlay it on freshly-initialized params
+    (``overlay_pretrained``)."""
+    state_dict = strip_data_parallel_prefix(state_dict)
+    return convert_torch_state_dict({
+        f"backbone.{k}": v for k, v in state_dict.items()
+        if not k.startswith(_TORCHVISION_HEAD_PREFIXES)})
+
+
+def overlay_pretrained(init_params: Dict, pretrained: Dict) -> Dict:
+    """Overlay a (possibly partial) pretrained tree on freshly-initialized
+    params — the reference's ``backbone_imagenet_pretrained`` behavior:
+    encoder weights from the checkpoint, decoders/heads keep their fresh
+    init (``models/net_desc.py:82-100``). Keys absent from the model are
+    skipped (a full-task checkpoint may feed a reduced-task config); shape
+    mismatches on known keys raise."""
+    out = dict(init_params)
+    for key, leaf in pretrained.items():
+        if key not in init_params:
+            continue
+        base = dict(init_params[key])
+        for attr, value in leaf.items():
+            if attr in base and tuple(np.shape(value)) != \
+                    tuple(np.shape(base[attr])):
+                raise ValueError(
+                    f"pretrained {key}.{attr} shape {np.shape(value)} != "
+                    f"model shape {np.shape(base[attr])}")
+            base[attr] = value
+        out[key] = base
+    return out
+
+
+def resolve_pretrained_map(map_path: str, backbone: str, fold,
+                           tag: str = "imagenet_mtl") -> str:
+    """Resolve a checkpoint path from a ``pretrained.yml``-style map
+    (reference ``models/pretrained.yml``: backbone -> foldN -> tag ->
+    path). Relative paths resolve against the yaml's directory."""
+    import yaml
+
+    with open(map_path) as handle:
+        table = yaml.safe_load(handle)
+    try:
+        path = table[backbone][f"fold{int(fold)}"][tag]
+    except (KeyError, TypeError) as exc:
+        raise ValueError(
+            f"{map_path}: no entry for backbone={backbone!r} "
+            f"fold{fold}/{tag!r}") from exc
+    if not os.path.isabs(path):
+        path = os.path.join(os.path.dirname(os.path.abspath(map_path)), path)
+    return path
+
+
 def convert_torch_checkpoint(checkpoint_path: str) -> Dict:
-    """Load a reference ``weights.tar`` and return the native param tree."""
+    """Load a reference ``weights.tar`` and return the native param tree.
+    Raw torchvision ImageNet checkpoints convert to a backbone-only
+    subtree (see ``convert_torchvision_backbone``)."""
     import torch  # local import: torch only needed for legacy checkpoints
 
     ckpt = torch.load(checkpoint_path, map_location="cpu", weights_only=False)
     state_dict = ckpt["desc"] if isinstance(ckpt, dict) and "desc" in ckpt else ckpt
+    if is_torchvision_backbone_state_dict(state_dict):
+        return convert_torchvision_backbone(state_dict)
     return convert_torch_state_dict(state_dict)
 
 
@@ -199,5 +280,7 @@ def load_checkpoint(path: str) -> Dict:
             state_dict = (ckpt["desc"]
                           if isinstance(ckpt, dict) and "desc" in ckpt
                           else ckpt)
+            if is_torchvision_backbone_state_dict(state_dict):
+                return convert_torchvision_backbone(state_dict)
             return convert_torch_state_dict(state_dict)
     return load_native_checkpoint(path)

@@ -87,8 +87,15 @@ def build_trainer(config: Dict, train_loaders: Dict, valid_loaders: Dict,
     import jax.numpy as jnp
 
     dtype = compute_dtype if compute_dtype is not None else jnp.float32
-    params = (pretrained_params if pretrained_params is not None
-              else init_net_params(jax.random.PRNGKey(seed), cfg))
+    # pretrained trees overlay a fresh init rather than replacing it: a
+    # backbone-only (ImageNet) tree leaves decoders/heads freshly
+    # initialized, exactly the reference's backbone_imagenet_pretrained
+    # split (models/net_desc.py:82-100); full checkpoints overlay every key
+    params = init_net_params(jax.random.PRNGKey(seed), cfg)
+    if pretrained_params is not None:
+        from ..models.convert import overlay_pretrained
+
+        params = overlay_pretrained(params, pretrained_params)
     # thread the configured decay cadence into the optimizer kwargs so the
     # schedule the step functions BUILD matches the one logged below (the
     # optimizer previously hardcoded the 75000 default regardless)

@@ -3,8 +3,9 @@
 Usage:
   run_train.py [--gpu=<id>] [--settings=<path>] [--log_dir=<path>] \
                [--nr_epochs=<n>] [--batch_size=<n>] [--seed=<n>] \
-               [--pretrained=<path>] [--per_n_steps=<n>] [--resume=<path>] \
-               [--bf16]
+               [--pretrained=<path>] [--pretrained_fold=<n>] \
+               [--pretrained_tag=<str>] [--per_n_steps=<n>] \
+               [--resume=<path>] [--bf16]
   run_train.py (-h | --help)
 
 Options:
@@ -15,7 +16,13 @@ Options:
   --nr_epochs=<n>      Number of epochs. [default: 140]
   --batch_size=<n>     Batch size override. [default: 12]
   --seed=<n>           RNG seed. [default: 0]
-  --pretrained=<path>  Checkpoint to initialize from (torch tar or native msgpack).
+  --pretrained=<path>  Checkpoint to initialize from: torch tar / native msgpack /
+                       raw torchvision ImageNet state_dict (backbone-only; decoders
+                       keep fresh init) / a pretrained.yml-style map (backbone ->
+                       foldN -> tag -> path, the reference models/pretrained.yml
+                       schema) resolved with --pretrained_fold/--pretrained_tag.
+  --pretrained_fold=<n>  Fold entry when --pretrained is a yml map. [default: 1]
+  --pretrained_tag=<str> Tag entry when --pretrained is a yml map. [default: imagenet_mtl]
   --per_n_steps=<n>    Logging/checkpoint/validation cadence in steps. [default: 2000]
   --resume=<path>      Resume a full training checkpoint (params + optimizer + step).
   --bf16               Mixed precision: bfloat16 activations for forward/backward;
@@ -62,9 +69,18 @@ if __name__ == "__main__":
 
     pretrained_params = None
     if args["--pretrained"]:
-        from cerberus_tpu.models.convert import load_checkpoint
+        from cerberus_tpu.models.convert import (
+            load_checkpoint,
+            resolve_pretrained_map,
+        )
 
-        pretrained_params = load_checkpoint(args["--pretrained"])
+        pretrained_path = args["--pretrained"]
+        if pretrained_path.endswith((".yml", ".yaml")):
+            pretrained_path = resolve_pretrained_map(
+                pretrained_path,
+                paramset.model_kwargs["encoder_backbone_name"],
+                args["--pretrained_fold"], args["--pretrained_tag"])
+        pretrained_params = load_checkpoint(pretrained_path)
 
     # dataset plumbing: built-in MTLPatchDataset over train_dir/valid_dir in
     # dataset_kwargs, or a custom module exposing make_loaders(paramset, bs)
