@@ -43,7 +43,6 @@ def _grid(batch: int) -> tuple:
 # batch sweep hooks (CLAUDE.md: 192/256 fit HBM with valid-region decoders;
 # sweep for the sweet spot when the tunnel is healthy)
 BATCH = int(os.environ.get("CERBERUS_BENCH_BATCH", "128"))
-GRID = _grid(BATCH)  # 128 tiles -> 1152 x 2304 canvas
 WARMUP = 2
 ITERS = int(os.environ.get("CERBERUS_BENCH_ITERS", "10"))
 EST_REFERENCE_TILES_PER_SEC = 25.0
@@ -51,6 +50,69 @@ MEASURED_TORCH_CPU_1CORE = 0.13
 
 
 PARTIAL: dict = {}  # fields already measured, reported even on a wedge
+
+MODEL_KWARGS = {
+    "encoder_backbone_name": "resnet34",
+    "decoder_kwargs": DEFAULT_DECODER_KWARGS,
+    "considered_tasks": list(DEFAULT_DECODER_KWARGS.keys()),
+}
+
+
+def build_programs(batch: int):
+    """The two benchmarked XLA programs at ``batch``: fused forward and
+    forward + on-chip postproc to instance label maps. Module-level so
+    tools/prime_bench_cache.py can AOT-compile every variant into the
+    persistent compilation cache without executing anything."""
+    from cerberus_tpu.data.patching import make_channel_index_map
+    from cerberus_tpu.ops.tpu_postproc import (
+        _cc_impl,
+        _inner_contour_instances,
+        _nuclei_watershed,
+    )
+
+    cfg = ModelConfig.from_kwargs(MODEL_KWARGS)
+    idx_dict, n_ch = make_channel_index_map(cfg.active_decoder_kwargs)
+    cc = _cc_impl()
+    gh, gw = _grid(batch)
+
+    @jax.jit
+    def forward(p, imgs):
+        return fused_infer_outputs(p, imgs, cfg, output_shape=144,
+                                   compute_dtype=jnp.bfloat16,
+                                   out_dtype=jnp.float16)
+
+    @jax.jit
+    def forward_postproc(p, imgs):
+        out = forward(p, imgs)  # (batch, 144, 144, C)
+        canvas = (out.reshape(gh, gw, 144, 144, n_ch)
+                  .transpose(0, 2, 1, 3, 4)
+                  .reshape(gh * 144, gw * 144, n_ch).astype(jnp.float32))
+        s, e = idx_dict["Gland-INST"]
+        gland = _inner_contour_instances(canvas[..., s], canvas[..., s + 1],
+                                         0.55, 1000, 11, cc)
+        s, e = idx_dict["Lumen-INST"]
+        lumen = _inner_contour_instances(canvas[..., s], canvas[..., s + 1],
+                                         0.5, 150, 3, cc)
+        s, e = idx_dict["Nuclei-INST"]
+        nuclei = _nuclei_watershed(canvas[..., s], canvas[..., s + 1], cc)
+        # lumen gated by the gland mask (reference infer/tile.py:187-191)
+        lumen = jnp.where(gland > 0, lumen, 0)
+        return gland, lumen, nuclei
+
+    return cfg, forward, forward_postproc
+
+
+def build_dense_program(d_out: int = 864):
+    """Dense-mode forward (1168^2 windows, 864^2 kept core)."""
+    cfg = ModelConfig.from_kwargs(MODEL_KWARGS)
+
+    @jax.jit
+    def forward_dense(p, x):
+        return fused_infer_outputs(p, x, cfg, output_shape=d_out,
+                                   compute_dtype=jnp.bfloat16,
+                                   out_dtype=jnp.float16)
+
+    return cfg, forward_dense
 
 
 def _wedge_record(note: str) -> dict:
@@ -81,17 +143,32 @@ def _probe_with_retry(deadline: float):
         os.path.dirname(os.path.abspath(__file__)), "tools", "probe.py")
     attempts: list = []
     while True:
+        t0 = time.time()
         try:
+            # 100 s: the adaptive probe needs ~10-60 s even at 0.05 TF;
+            # the tunnel's stalls are minutes-long and uncorrelated with
+            # attempt length, so MORE shorter attempts win
             proc = subprocess.run([sys.executable, probe_path],
-                                  capture_output=True, text=True, timeout=90)
+                                  capture_output=True, text=True,
+                                  timeout=100)
             rec = json.loads(proc.stdout.strip().splitlines()[-1])
             attempts.append(rec["tflops_bf16"])
             PARTIAL["probe_attempts_tflops"] = attempts
             return rec
-        except Exception:
-            attempts.append("timeout")
+        except subprocess.TimeoutExpired:
+            attempts.append(f"timeout@{time.time() - t0:.0f}s")
             PARTIAL["probe_attempts_tflops"] = attempts
-        if time.time() + 120 > deadline:
+        except Exception as exc:  # crash/parse failure, NOT a hang —
+            # label it honestly (a "timeout" here once hid a child crash)
+            err = ""
+            try:
+                err = (proc.stderr or "")[-200:]
+            except Exception:
+                pass
+            attempts.append(f"{type(exc).__name__}@{time.time() - t0:.0f}s"
+                            + (f": {err}" if err else ""))
+            PARTIAL["probe_attempts_tflops"] = attempts
+        if time.time() + 100 > deadline:
             return None
         time.sleep(30)
 
@@ -116,7 +193,7 @@ def _watchdog(seconds: int = 480) -> None:
 
 
 def main() -> None:
-    global BATCH, GRID, ITERS
+    global BATCH, ITERS, WARMUP
     # Persist XLA executables across invocations — the same cache the CLIs
     # use (infer/manager.py): a driver bench after any successful run this
     # round skips the 20-40 s cold compiles that wedged BENCH_r02.
@@ -132,18 +209,20 @@ def main() -> None:
     _watchdog(budget)
 
     # Probe the chip via a killable subprocess BEFORE any in-process device
-    # use; sleep-retry within half the budget instead of dying once.
-    probe_rec = _probe_with_retry(time.time() + min(240, budget // 2))
+    # use; sleep-retry within a bounded window. The tunnel's stalls are
+    # intermittent on ~minute timescales (measured ~25% probe success at
+    # 0.03 TF), so a failed probe phase does NOT abort: it means "assume
+    # worst-case degradation and attempt the measurement anyway" — the
+    # watchdog + PARTIAL reporting remain the backstop.
+    probe_rec = _probe_with_retry(time.time() + min(280, budget // 2))
     if probe_rec is None:
-        print(json.dumps(_wedge_record(
-            "tunnel wedged: subprocess probe never completed "
-            f"({len(PARTIAL.get('probe_attempts_tflops', []))} attempts)")),
-            flush=True)
-        raise SystemExit(2)
-    probe_tflops = float(probe_rec["tflops_bf16"])
-    PARTIAL["chip_condition_probe_tflops_bf16"] = round(probe_tflops, 1)
+        probe_tflops = None
+        PARTIAL["probe_failed_assuming_degraded"] = True
+    else:
+        probe_tflops = float(probe_rec["tflops_bf16"])
+        PARTIAL["chip_condition_probe_tflops_bf16"] = round(probe_tflops, 2)
     # the probe phase ate into the watchdog; give the measured sections
-    # their full budget now that the chip answered
+    # their full budget
     import signal
 
     signal.alarm(budget)
@@ -151,56 +230,19 @@ def main() -> None:
     # trace step alone is ~90 s+ — shrink the work so a SLOW chip still
     # yields a complete, honestly-labeled artifact instead of a watchdog
     # kill. Explicit CERBERUS_BENCH_BATCH/_ITERS override this.
-    if probe_tflops < 5.0 and "CERBERUS_BENCH_BATCH" not in os.environ:
-        BATCH = 32 if probe_tflops >= 1.0 else 8
-        GRID = _grid(BATCH)
+    degraded = probe_tflops is None or probe_tflops < 5.0
+    if degraded and "CERBERUS_BENCH_BATCH" not in os.environ:
+        BATCH = 32 if (probe_tflops or 0) >= 1.0 else 8
         PARTIAL["degraded_chip_reduced_batch"] = BATCH
-    if probe_tflops < 5.0 and "CERBERUS_BENCH_ITERS" not in os.environ:
-        ITERS = 3
+    if degraded and "CERBERUS_BENCH_ITERS" not in os.environ:
+        ITERS = 3 if (probe_tflops or 0) >= 0.5 else 2
+    if degraded:
+        WARMUP = 1
 
-    cfg = ModelConfig.from_kwargs({
-        "encoder_backbone_name": "resnet34",
-        "decoder_kwargs": DEFAULT_DECODER_KWARGS,
-        "considered_tasks": list(DEFAULT_DECODER_KWARGS.keys()),
-    })
+    cfg, forward, forward_postproc = build_programs(BATCH)
     with jax.default_device(jax.devices("cpu")[0]):
         params = init_net_params(jax.random.PRNGKey(0), cfg)
     params = jax.device_put(params)
-
-    from cerberus_tpu.data.patching import make_channel_index_map
-    from cerberus_tpu.ops.tpu_postproc import (
-        _cc_impl,
-        _inner_contour_instances,
-        _nuclei_watershed,
-    )
-
-    idx_dict, n_ch = make_channel_index_map(cfg.active_decoder_kwargs)
-    cc = _cc_impl()
-
-    @jax.jit
-    def forward(p, imgs):
-        return fused_infer_outputs(p, imgs, cfg, output_shape=144,
-                                   compute_dtype=jnp.bfloat16,
-                                   out_dtype=jnp.float16)
-
-    @jax.jit
-    def forward_postproc(p, imgs):
-        out = forward(p, imgs)  # (128, 144, 144, C)
-        gh, gw = GRID
-        canvas = (out.reshape(gh, gw, 144, 144, n_ch)
-                  .transpose(0, 2, 1, 3, 4)
-                  .reshape(gh * 144, gw * 144, n_ch).astype(jnp.float32))
-        s, e = idx_dict["Gland-INST"]
-        gland = _inner_contour_instances(canvas[..., s], canvas[..., s + 1],
-                                         0.55, 1000, 11, cc)
-        s, e = idx_dict["Lumen-INST"]
-        lumen = _inner_contour_instances(canvas[..., s], canvas[..., s + 1],
-                                         0.5, 150, 3, cc)
-        s, e = idx_dict["Nuclei-INST"]
-        nuclei = _nuclei_watershed(canvas[..., s], canvas[..., s + 1], cc)
-        # lumen gated by the gland mask (reference infer/tile.py:187-191)
-        lumen = jnp.where(gland > 0, lumen, 0)
-        return gland, lumen, nuclei
 
     rng = np.random.default_rng(0)
     # blobby inputs so CC/watershed do representative (not empty-image) work
@@ -210,7 +252,7 @@ def main() -> None:
 
     # best-of-3 on a healthy chip; single trial when degraded (the extra
     # trials would triple an already-slow run into the watchdog)
-    trials = 3 if probe_tflops >= 5.0 else 1
+    trials = 1 if degraded else 3
 
     def timed(fn, iters, batch_imgs=None, batch_n=None):
         """best-of-N: the shared tunneled chip shows large contention
@@ -247,9 +289,10 @@ def main() -> None:
         import tempfile
 
         jax.tree.map(np.asarray, forward_postproc(params, imgs))  # compile
+        n_trace = 3 if (probe_tflops or 0) >= 1.0 else 2
         prof_dir = tempfile.mkdtemp(prefix="bench_prof_")
         with jax.profiler.trace(prof_dir):
-            for _ in range(3):
+            for _ in range(n_trace):
                 jax.tree.map(np.asarray, forward_postproc(params, imgs))
         path = sorted(glob.glob(
             f"{prof_dir}/plugins/profile/*/*.trace.json.gz"))[-1]
@@ -262,22 +305,23 @@ def main() -> None:
                      if e.get("ph") == "X" and e.get("pid") in tpu_pids
                      and e.get("name", "").startswith("jit_"))
         if dev_us > 0:
-            device_tps = BATCH * 3 / (dev_us / 1e6)
+            device_tps = BATCH * n_trace / (dev_us / 1e6)
             PARTIAL["device_side_tiles_per_sec"] = round(device_tps, 1)
         shutil.rmtree(prof_dir, ignore_errors=True)
     except Exception:
         device_tps = None
 
-    # condition probe early too (cheap, and attributes a later wedge):
-    # the shared tunneled chip swings 5-25x with external contention
-    # (CLAUDE.md); healthy v5e peak is ~197 TF bf16
-    x = jnp.ones((4096, 4096), jnp.bfloat16)
-    mm = jax.jit(lambda a: a @ a)
-    np.asarray(mm(x))
-    t0 = time.perf_counter()
-    np.asarray(mm(x))
-    probe_tflops = 2 * 4096 ** 3 / (time.perf_counter() - t0) / 1e12
-    PARTIAL["chip_condition_probe_tflops_bf16"] = round(probe_tflops, 1)
+    # re-probe in-process right before the wall sections (attributes a
+    # later wedge) — but only when the chip can afford the 4096^2 matmul;
+    # a <2 TF chip keeps the subprocess probe's number
+    if probe_tflops is not None and probe_tflops >= 2.0:
+        x = jnp.ones((4096, 4096), jnp.bfloat16)
+        mm = jax.jit(lambda a: a @ a)
+        np.asarray(mm(x))
+        t0 = time.perf_counter()
+        np.asarray(mm(x))
+        probe_tflops = 2 * 4096 ** 3 / (time.perf_counter() - t0) / 1e12
+        PARTIAL["chip_condition_probe_tflops_bf16"] = round(probe_tflops, 1)
 
     fwd_tps = timed(forward, ITERS)
     PARTIAL["forward_only_tiles_per_sec"] = round(fwd_tps, 2)
@@ -295,11 +339,7 @@ def main() -> None:
         d_imgs = jax.device_put(np.clip(np.kron(
             d_base, np.ones((1, 8, 8, 1))) * 255, 0, 255).astype(np.uint8))
 
-        @jax.jit
-        def forward_dense(p, x):
-            return fused_infer_outputs(p, x, cfg, output_shape=d_out,
-                                       compute_dtype=jnp.bfloat16,
-                                       out_dtype=jnp.float16)
+        _, forward_dense = build_dense_program(d_out)
 
         # same dispatch-overlap methodology as the headline (timed), so the
         # two numbers are comparable
@@ -328,7 +368,9 @@ def main() -> None:
         "unit": "tiles/s",
         "vs_baseline": round(e2e_tps / EST_REFERENCE_TILES_PER_SEC, 2),
         "forward_only_tiles_per_sec": round(fwd_tps, 2),
-        "chip_condition_probe_tflops_bf16": round(probe_tflops, 1),
+        **({"chip_condition_probe_tflops_bf16": round(probe_tflops, 2)}
+           if probe_tflops is not None else
+           {"probe_failed_assuming_degraded": True}),
         # on-device e2e throughput from trace spans: what THIS chip
         # executes, with the shared tunnel's dispatch/D2H latency excluded
         **({"device_side_tiles_per_sec": round(device_tps, 1)}
@@ -341,7 +383,9 @@ def main() -> None:
         "model_gflops_per_tile": round(flops_per_tile / 1e9, 1),
         "achieved_tflops_forward": round(achieved_tflops, 2),
         "mfu_vs_v5e_peak": round(achieved_tflops / 197.0, 3),
-        "mfu_vs_probe": round(achieved_tflops / max(probe_tflops, 1e-9), 3),
+        **({"mfu_vs_probe":
+            round(achieved_tflops / max(probe_tflops, 1e-9), 3)}
+           if probe_tflops is not None else {}),
         **{k: PARTIAL[k] for k in ("probe_attempts_tflops",
                                    "degraded_chip_reduced_batch")
            if k in PARTIAL},

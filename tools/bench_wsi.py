@@ -9,9 +9,13 @@ reports the per-phase wall-clock the pipeline logs per slide (the
 reference's phase spans, infer/wsi.py:582-856).
 
 Usage: python tools/bench_wsi.py [--size=N] [--tissue=F] [--keep] [--dense]
+                                 [--device_spans]
 Prints ONE JSON line with per-phase seconds and the <=300 s target.
 --dense runs the 1168->864 dense-window geometry (~3x fewer FLOPs per
 slide pixel, PARITY.md) instead of the reference's 448->144.
+--device_spans additionally profiles the run and reports ON-DEVICE
+seconds per jit program (trustworthy attribution when the shared tunnel
+degrades wall-clock).
 """
 from __future__ import annotations
 
@@ -138,11 +142,44 @@ PHASE_RE = {
 }
 
 
+def _device_spans(prof_dir):
+    """Sum the TPU lane's jit_* span durations per program name from the
+    run's Chrome trace (same methodology as bench.py's device-side
+    section). Returns {program: seconds} sorted descending, plus a total."""
+    import glob
+    import gzip
+
+    if not prof_dir:
+        return None
+    paths = sorted(glob.glob(
+        f"{prof_dir}/**/*.trace.json.gz", recursive=True))
+    if not paths:
+        return None
+    with gzip.open(paths[-1]) as handle:
+        trace = json.load(handle)
+    events = trace.get("traceEvents", [])
+    tpu_pids = {e["pid"] for e in events
+                if e.get("ph") == "M" and e.get("name") == "process_name"
+                and "TPU" in e.get("args", {}).get("name", "")}
+    by_name: dict = {}
+    for e in events:
+        if (e.get("ph") == "X" and e.get("pid") in tpu_pids
+                and e.get("name", "").startswith("jit_")):
+            by_name[e["name"]] = by_name.get(e["name"], 0.0) + e["dur"]
+    if not by_name:
+        return None
+    out = {k: round(v / 1e6, 2) for k, v in sorted(
+        by_name.items(), key=lambda kv: -kv[1])[:10]}
+    out["total"] = round(sum(by_name.values()) / 1e6, 2)
+    return out
+
+
 def main() -> None:
     size = 49152
     tissue = 0.2
     keep = False
     dense = False
+    device_spans = False
     for arg in sys.argv[1:]:
         if arg.startswith("--size="):
             size = int(arg.split("=")[1])
@@ -152,6 +189,8 @@ def main() -> None:
             keep = True
         elif arg == "--dense":
             dense = True
+        elif arg == "--device_spans":
+            device_spans = True
 
     # the level pyramid decimates by 2 three times; a non-multiple-of-8
     # size would mis-broadcast the strided copies
@@ -179,9 +218,19 @@ def main() -> None:
             "--postproc_backend=tpu",
         ] + (["--patch_input_shape=1168", "--patch_output_shape=864"]
              if dense else [])
+        env = dict(os.environ)
+        prof_dir = None
+        if device_spans:
+            # --device_spans: XPlane profile of the whole run; afterwards
+            # the TPU lane's jit spans are summed per program name —
+            # ON-DEVICE seconds, independent of the tunnel's dispatch/D2H
+            # latency (the degraded-tunnel attribution VERDICT r2 task 4
+            # asks for when wall-clock can't be trusted)
+            prof_dir = os.path.join(root, "profile")
+            env["CERBERUS_PROFILE_DIR"] = prof_dir
         t0 = time.perf_counter()
         proc = subprocess.run(cmd, capture_output=True, text=True,
-                              cwd=REPO, timeout=3600)
+                              cwd=REPO, timeout=3600, env=env)
         wall_s = time.perf_counter() - t0
         if proc.returncode != 0:
             print(json.dumps({"metric": "synthetic 40x WSI e2e", "value": -1,
@@ -203,6 +252,7 @@ def main() -> None:
         dat = joblib.load(os.path.join(out_dir, "dat", "slide_a.dat"))
         counts = {k: len(dat[k]) for k in ("Nuclei", "Gland", "Lumen")
                   if k in dat}
+        spans = _device_spans(prof_dir) if device_spans else None
         print(json.dumps({
             "metric": "synthetic 40x WSI end-to-end (masked, %dk^2 base, "
                       "%.0f%% tissue%s)" % (size // 1024, 100 * frac,
@@ -215,6 +265,7 @@ def main() -> None:
             "phases": phases,
             "instances": counts,
             "datagen_s": round(gen_s, 2),
+            **({"device_side_s_by_program": spans} if spans else {}),
         }))
     finally:
         if keep:
