@@ -32,13 +32,13 @@ def test_vmem_resident_cc_real_mosaic():
     kernel labels identically to scipy."""
     _require_tpu()
     import jax.numpy as jnp
-    from scipy import ndimage
 
+    from cerberus_tpu.ops import cc_cpu
     from cerberus_tpu.ops.pallas_cc import cc_pallas
 
     mask = _blob_mask(hw=448, seed=3, n=40, r=12)
     got = np.asarray(cc_pallas(jnp.asarray(mask)))
-    ref, _ = ndimage.label(mask, structure=np.ones((3, 3)))
+    ref, _ = cc_cpu.label(mask)  # 4-connected, like the kernel
     assert _label_isomorphic(ref, got)
 
 
@@ -47,13 +47,13 @@ def test_blocked_strip_cc_real_mosaic():
     blocked-strip kernel with its carry row, compiled, vs scipy."""
     _require_tpu()
     import jax.numpy as jnp
-    from scipy import ndimage
 
+    from cerberus_tpu.ops import cc_cpu
     from cerberus_tpu.ops.pallas_cc_blocked import cc_pallas_blocked
 
     mask = _blob_mask(hw=2048, seed=5, n=200, r=24)
     got = np.asarray(cc_pallas_blocked(jnp.asarray(mask)))
-    ref, _ = ndimage.label(mask, structure=np.ones((3, 3)))
+    ref, _ = cc_cpu.label(mask)  # 4-connected, like the kernel
     assert _label_isomorphic(ref, got)
 
 
