@@ -170,8 +170,22 @@ def remove_small_objects(lab: jnp.ndarray, min_size: int) -> jnp.ndarray:
     return jnp.where(keep[lab], lab, 0)
 
 
-@jax.jit
-def fill_holes(mask: jnp.ndarray) -> jnp.ndarray:
+def _label_fn(cc_impl: str):
+    """Resolve the labeling backend for the INTERNAL component labelings
+    of hole filling. ``"lax"`` (default) keeps the pure-lax path; other
+    values dispatch through ``tpu_postproc._cc`` (pallas VMEM-resident /
+    blocked-strip kernels) — measured 1.25-4.1x faster, and these hidden
+    background-CCs are a large share of postproc device time (round 3:
+    each fill_* call labels a full canvas a second time)."""
+    if cc_impl == "lax":
+        return connected_components
+    from .tpu_postproc import _cc
+
+    return lambda m: _cc(m, cc_impl)
+
+
+@partial(jax.jit, static_argnames=("cc_impl",))
+def fill_holes(mask: jnp.ndarray, cc_impl: str = "lax") -> jnp.ndarray:
     """Binary fill: holes are background components not touching the border.
 
     Same output as a border-seeded 4-connected background flood (a bg pixel
@@ -182,7 +196,7 @@ def fill_holes(mask: jnp.ndarray) -> jnp.ndarray:
     """
     h, w = mask.shape
     mask = mask.astype(bool)
-    bg_lab = connected_components(~mask)
+    bg_lab = _label_fn(cc_impl)(~mask)
     border = jnp.zeros((h, w), bool).at[0, :].set(True).at[-1, :].set(True) \
         .at[:, 0].set(True).at[:, -1].set(True)
     # per-component "touches border" via one segment_max over label ids
@@ -287,8 +301,8 @@ def _neighbor_max(lab: jnp.ndarray) -> jnp.ndarray:
     return jnp.maximum(jnp.maximum(up, down), jnp.maximum(left, right))
 
 
-@jax.jit
-def fill_label_holes(lab: jnp.ndarray) -> jnp.ndarray:
+@partial(jax.jit, static_argnames=("cc_impl",))
+def fill_label_holes(lab: jnp.ndarray, cc_impl: str = "lax") -> jnp.ndarray:
     """Fill enclosed background inside labeled instances: hole pixels adopt
     the label flooding in from their surrounding instance.
 
@@ -316,7 +330,7 @@ def fill_label_holes(lab: jnp.ndarray) -> jnp.ndarray:
     # those same component ids key the per-hole adoption reductions — no
     # second CC over the hole set. Border-touching is folded into the max
     # reduction as a sentinel, saving a separate segment pass + gather.
-    bg_lab = connected_components(lab == 0)
+    bg_lab = _label_fn(cc_impl)(lab == 0)
     border = jnp.zeros((h, w), bool).at[0, :].set(True).at[-1, :].set(True) \
         .at[:, 0].set(True).at[:, -1].set(True)
     # per bg pixel: min/max labeled 4-neighbor (big/0 when none); border bg

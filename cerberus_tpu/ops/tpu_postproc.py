@@ -110,7 +110,9 @@ def _inner_contour_instances(inner_raw, cnt_raw, thresh: float,
     lab = _cc(fg, cc_impl)
     lab = L.remove_small_objects(lab, min_size)
     lab = L.dilate_labels(lab, ksize)
-    return L.fill_label_holes(lab)
+    # thread the CC backend into the hole fill's internal bg labeling too
+    # (it labels the full canvas a second time — round-3 profiling)
+    return L.fill_label_holes(lab, cc_impl=cc_impl)
 
 
 @partial(jax.jit, static_argnames=("cc_impl",))
@@ -124,7 +126,7 @@ def _nuclei_watershed(inner_raw, cnt_raw, cc_impl: str = "lax"):
 
     mrk_lab = _cc(inner_raw > 0.5, cc_impl)
     mrk_lab = L.remove_small_objects(mrk_lab, 4)
-    mrk = L.fill_holes(mrk_lab > 0)
+    mrk = L.fill_holes(mrk_lab > 0, cc_impl=cc_impl)
     markers = _cc(mrk, cc_impl)
     # NB: a VMEM-resident pallas watershed exists (ops/pallas_watershed.py)
     # but measured EQUAL to the lax kernel on v5e (58 vs 62 ms at 448^2) —
@@ -140,7 +142,7 @@ def _eroded_map_instances(fg_raw, thresh: float, min_size: int, ksize: int,
     lab = _cc(fg, cc_impl)
     lab = L.remove_small_objects(lab, min_size)
     lab = L.dilate_labels(lab, ksize)
-    return L.fill_label_holes(lab)
+    return L.fill_label_holes(lab, cc_impl=cc_impl)
 
 
 def _compact_labels(lab: np.ndarray) -> np.ndarray:
