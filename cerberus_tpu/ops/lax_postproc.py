@@ -153,21 +153,106 @@ def connected_components(mask: jnp.ndarray, max_iters: int = 0) -> jnp.ndarray:
 
 @jax.jit
 def label_sizes(lab: jnp.ndarray) -> jnp.ndarray:
-    """Pixel count per raw label id, indexed by flattened-index id space."""
+    """Pixel count per raw label id, indexed by flattened-index id space.
+
+    Scatter path (XLA lowers segment_sum to a serialized scatter-add, ~17
+    ns/px on v5e — round-3 device profiling); kept as the exact fallback
+    for canvases with more components than the matmul histogram cap."""
     h, w = lab.shape
     flat = lab.reshape(-1)
     return jax.ops.segment_sum(jnp.ones_like(flat, jnp.int32), flat,
                                num_segments=h * w + 1)
 
 
+# matmul-histogram cap: canvases with more components fall back to the
+# scatter path. 16384 = 128*128 factored one-hot planes; a 2.65M px canvas
+# costs ~87 GFLOP bf16 (<1 ms on v5e MXU) vs ~45 ms for the scatter.
+_HIST_CAP = 16384
+_HIST_CHUNK = 1 << 20  # px per accumulation step bounds the one-hot temps
+
+
+def _compact_labels_jit(lab: jnp.ndarray):
+    """Scatter-free id compaction for min-flat-index labels.
+
+    The CC contract (id = component's min flattened index + 1) means the
+    pixel AT flat index ``id - 1`` is the component's root, so
+    ``is_root[p] = (lab[p] == p + 1)`` is elementwise, a raster cumsum of
+    it ranks the roots 1..n in raster order, and one gather through the
+    rank image relabels every pixel — no scatter anywhere. Returns
+    (compact labels 1..n in raster-of-root order, n)."""
+    h, w = lab.shape
+    idx1 = jnp.arange(1, h * w + 1, dtype=jnp.int32).reshape(h, w)
+    is_root = (lab == idx1).astype(jnp.int32)
+    # 2-level cumsum (rows, then row offsets) — cheaper on TPU than one
+    # h*w-long 1-D scan
+    row_cum = jnp.cumsum(is_root, axis=1)
+    row_off = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                               jnp.cumsum(row_cum[:, -1])[:-1]])
+    rank = (row_cum + row_off[:, None]).reshape(-1)
+    n = rank[-1]
+    lab_k = jnp.where(lab > 0, rank[jnp.clip(lab - 1, 0, h * w - 1)], 0)
+    return lab_k, n
+
+
+def _sizes_histogram(lab_k: jnp.ndarray, cap: int) -> jnp.ndarray:
+    """Per-id pixel counts for ids in [0, cap) without a scatter: factor
+    id = hi*128 + lo and accumulate onehot(hi)^T @ onehot(lo) on the MXU
+    (counts are exact in f32 up to 2^24; keep decisions only ever compare
+    against min_size <= O(1e3)). Chunked so the one-hot temps stay bounded
+    on 4096^2 WSI postproc tiles."""
+    side = int(np.sqrt(cap))
+    assert side * side == cap
+    flat = lab_k.reshape(-1)
+    m = flat.shape[0]
+    chunk = min(_HIST_CHUNK, m)
+    pad = (-m) % chunk
+    if pad:
+        # padding counts into id 0 (background), which is never kept
+        flat = jnp.concatenate([flat, jnp.zeros((pad,), flat.dtype)])
+    chunks = flat.reshape(-1, chunk)
+
+    def step(acc, chunk):
+        hi = jax.nn.one_hot(chunk // side, side, dtype=jnp.bfloat16)
+        lo = jax.nn.one_hot(chunk % side, side, dtype=jnp.bfloat16)
+        part = jax.lax.dot_general(hi, lo, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        return acc + part, None
+
+    acc, _ = jax.lax.scan(step, jnp.zeros((side, side), jnp.float32), chunks)
+    return acc.reshape(-1)
+
+
 @partial(jax.jit, static_argnames=("min_size",))
 def remove_small_objects(lab: jnp.ndarray, min_size: int) -> jnp.ndarray:
     """Zero out components with < min_size pixels (labels from
-    connected_components)."""
-    sizes = label_sizes(lab)
-    keep = sizes >= min_size
-    keep = keep.at[0].set(False)
-    return jnp.where(keep[lab], lab, 0)
+    connected_components).
+
+    Returns COMPACTED ids (1..n in raster order of component roots — the
+    same ordering the host-side ``_compact_labels`` normalization and
+    scipy's ``label`` produce), not the raw flat-index ids: downstream
+    consumers (dilate_labels max-overwrite, hole fill, host relabeling)
+    depend only on id distinctness and ascending order, both preserved.
+    Sizes come from the factored one-hot matmul histogram when the canvas
+    has < _HIST_CAP components (the overwhelming case), else from the
+    scatter fallback — round-3 device profiling showed the segment_sum
+    scatter at h*w+1 ids was the single most expensive postproc op."""
+    h, w = lab.shape
+    lab_k, n = _compact_labels_jit(lab)
+
+    def fast(lab, lab_k):
+        sizes = _sizes_histogram(lab_k, _HIST_CAP)
+        keep = sizes >= min_size
+        keep = keep.at[0].set(False)
+        safe = jnp.clip(lab_k, 0, _HIST_CAP - 1)
+        return jnp.where(keep[safe], lab_k, 0)
+
+    def slow(lab, lab_k):
+        sizes = label_sizes(lab)
+        keep = sizes >= min_size
+        keep = keep.at[0].set(False)
+        return jnp.where(keep[lab], lab_k, 0)
+
+    return jax.lax.cond(n < _HIST_CAP, fast, slow, lab, lab_k)
 
 
 def _label_fn(cc_impl: str):
@@ -184,26 +269,32 @@ def _label_fn(cc_impl: str):
     return lambda m: _cc(m, cc_impl)
 
 
+def _ring_bg_cc(is_bg: jnp.ndarray, cc_impl: str) -> jnp.ndarray:
+    """CC of the background padded with a 1 px all-background ring.
+
+    Every border-touching bg component is 4-connected to the ring, so they
+    all merge into the single component containing padded pixel (0, 0) —
+    whose id is exactly 1 by the min-flat-index contract. \"Touches the
+    border\" therefore becomes the elementwise test ``id == 1``: no
+    segment reduction, no (h*w+1)-entry LUT gather (round-3 device
+    profiling: that scatter+gather pair dominated fill_holes at ~95 ms on
+    a 2.65M px canvas vs ~3 ms for the labeling itself).
+    Returns the padded (h+2, w+2) label plane."""
+    return _label_fn(cc_impl)(jnp.pad(is_bg, 1, constant_values=True))
+
+
 @partial(jax.jit, static_argnames=("cc_impl",))
 def fill_holes(mask: jnp.ndarray, cc_impl: str = "lax") -> jnp.ndarray:
     """Binary fill: holes are background components not touching the border.
 
     Same output as a border-seeded 4-connected background flood (a bg pixel
     is flood-reachable iff its 4-connected bg component contains a border
-    pixel), but computed from ``connected_components`` — whose pointer-
-    jumping sweeps converge in O(log diameter) — instead of a 1 px/sweep
-    frontier that needs ~H/2 full-canvas sweeps on WSI postproc tiles.
+    pixel), computed with ONE connected-components call on the ring-padded
+    background (``_ring_bg_cc``): reachable bg = component id 1.
     """
-    h, w = mask.shape
     mask = mask.astype(bool)
-    bg_lab = _label_fn(cc_impl)(~mask)
-    border = jnp.zeros((h, w), bool).at[0, :].set(True).at[-1, :].set(True) \
-        .at[:, 0].set(True).at[:, -1].set(True)
-    # per-component "touches border" via one segment_max over label ids
-    touches = jax.ops.segment_max(
-        border.reshape(-1).astype(jnp.int32), bg_lab.reshape(-1),
-        num_segments=h * w + 1)
-    return mask | ((bg_lab > 0) & (touches[bg_lab] <= 0))
+    bg_lab = _ring_bg_cc(~mask, cc_impl)[1:-1, 1:-1]
+    return mask | (~mask & (bg_lab != 1))
 
 
 def _neighbor_or(x: jnp.ndarray) -> jnp.ndarray:
@@ -307,10 +398,11 @@ def fill_label_holes(lab: jnp.ndarray, cc_impl: str = "lax") -> jnp.ndarray:
     the label flooding in from their surrounding instance.
 
     Fast path: a hole component bounded by exactly ONE instance (the
-    overwhelmingly common case — a lumen inside one gland) is assigned in
-    O(log diameter) sweeps via connected_components + per-component segment
-    reductions. When a hole touches two or more instances, a lockstep flood
-    (labels advance together, min id wins the meeting line) partitions it.
+    overwhelmingly common case — a lumen inside one gland) is assigned by
+    one ring-padded connected-components call plus one gather at the pixel
+    above each hole's root (see the inline derivation). When a hole
+    touches two or more instances, a lockstep flood (labels advance
+    together, min id wins the meeting line) partitions it.
 
     Divergence from the CPU oracle (documented here + PARITY.md): the
     reference fills holes PER INSTANCE inside each instance's bbox
@@ -325,34 +417,31 @@ def fill_label_holes(lab: jnp.ndarray, cc_impl: str = "lax") -> jnp.ndarray:
     """
     h, w = lab.shape
     big = jnp.int32(h * w + 2)
-    # ONE background CC serves both steps: holes are exactly the bg
-    # components that don't touch the border (fill_holes semantics), and
-    # those same component ids key the per-hole adoption reductions — no
-    # second CC over the hole set. Border-touching is folded into the max
-    # reduction as a sentinel, saving a separate segment pass + gather.
-    bg_lab = _label_fn(cc_impl)(lab == 0)
-    border = jnp.zeros((h, w), bool).at[0, :].set(True).at[-1, :].set(True) \
-        .at[:, 0].set(True).at[:, -1].set(True)
-    # per bg pixel: min/max labeled 4-neighbor (big/0 when none); border bg
-    # pixels contribute the `big` sentinel to the max so their whole
-    # component is marked non-hole
-    nbr_min = _neighbor_min(jnp.where(lab > 0, lab, big), big)
-    nbr_max = jnp.where(border, big,
-                        _neighbor_max(jnp.where(lab > 0, lab, 0)))
     is_bg = lab == 0
-    flat_cc = bg_lab.reshape(-1)
-    cmin = jax.ops.segment_min(
-        jnp.where(is_bg, nbr_min, big).reshape(-1), flat_cc,
-        num_segments=h * w + 1)
-    cmax = jax.ops.segment_max(
-        jnp.where(is_bg, nbr_max, 0).reshape(-1), flat_cc,
-        num_segments=h * w + 1)
-    cmax = cmax.at[0].set(0)
-    owner = jnp.where(cmax < big, cmax, 0)     # 0 for border components
-    fill = owner[bg_lab]                        # per-pixel adopted label
-    holes = is_bg & (fill > 0)
-    contested = jnp.any((cmax > 0) & (cmax < big) & (cmin < big)
-                        & (cmin != cmax))
+    # ONE ring-padded background CC serves both steps (no segment
+    # reductions anywhere — round-3 device profiling showed the former
+    # per-component min/max scatters dominating this op):
+    #  * holes = bg components whose padded id != 1 (_ring_bg_cc);
+    #  * owner lookup: a hole component's id encodes its ROOT (the
+    #    component's min-flat-index pixel, i.e. its top-left-most pixel).
+    #    The pixel directly ABOVE that root cannot be in the same bg
+    #    component (it has a smaller flat index), cannot be in a different
+    #    bg component (4-adjacency would have merged them), and cannot be
+    #    the ring (the component would then have id 1) — so it is always a
+    #    labeled fg pixel of the enclosing instance. One gather fetches it.
+    bg_lab_p = _ring_bg_cc(is_bg, cc_impl)          # (h+2, w+2), padded ids
+    bg_lab = bg_lab_p[1:-1, 1:-1]
+    holes = is_bg & (bg_lab != 1)
+    wp = w + 2
+    lab_pad_flat = jnp.pad(lab, 1).reshape(-1)
+    above_root = jnp.clip(bg_lab - 1 - wp, 0, (h + 2) * wp - 1)
+    fill = jnp.where(holes, lab_pad_flat[above_root], 0)
+    # contested (hole bounded by >1 instance) detection is elementwise:
+    # some hole pixel then borders an instance other than the adopted one
+    nbr_min = _neighbor_min(jnp.where(lab > 0, lab, big), big)
+    nbr_max = _neighbor_max(jnp.where(lab > 0, lab, 0))
+    contested = jnp.any(holes & (((nbr_max > 0) & (nbr_max != fill))
+                                 | ((nbr_min < big) & (nbr_min != fill))))
 
     def exact(lab):
         return _propagate_labels(lab, holes | (lab > 0), big)
