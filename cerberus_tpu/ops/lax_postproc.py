@@ -171,6 +171,43 @@ _HIST_CAP = 16384
 _HIST_CHUNK = 1 << 20  # px per accumulation step bounds the one-hot temps
 
 
+def _row_gather(table_flat: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """table_flat[idx] via 128-wide row slices + a one-hot column select.
+
+    XLA lowers a per-element TPU gather at ~17 ns/lookup regardless of
+    table size (round-3 microbench: 19 ms for 2.65M lookups); gathering
+    contiguous 128-lane ROWS instead is bandwidth-shaped (7.3 ms), and the
+    column select fuses. Exact for int32 values < 2^24 (the select rides
+    f32). Any index shape; table is zero-padded to a 128 multiple."""
+    n = table_flat.shape[0]
+    pad = (-n) % 128
+    if pad:
+        table_flat = jnp.concatenate(
+            [table_flat, jnp.zeros((pad,), table_flat.dtype)])
+    t2 = table_flat.reshape(-1, 128)
+    flat = idx.reshape(-1)
+    rows = t2[flat // 128].astype(jnp.float32)
+    sel = jax.nn.one_hot(flat % 128, 128, dtype=jnp.float32)
+    return (rows * sel).sum(-1).astype(table_flat.dtype).reshape(idx.shape)
+
+
+def _lut_matmul(lut: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """lut[idx] for a 16384-entry LUT as one (P,128)@(128,128) matmul plus
+    a fused one-hot row-dot — 0.63 ms for 2.65M lookups on v5e vs 19 ms
+    for the scalar gather (round-3 microbench). Exact for values < 2^24
+    (one-hots are exact in bf16; accumulation in f32)."""
+    assert lut.shape[0] == _HIST_CAP
+    flat = idx.reshape(-1)
+    # f32 operands: one-hots are exact either way, but a bf16 LUT would
+    # round values > 256 (8-bit mantissa) — f32 keeps lookups exact to 2^24
+    hi = jax.nn.one_hot(flat // 128, 128, dtype=jnp.float32)
+    tmp = jax.lax.dot_general(
+        hi, lut.reshape(128, 128).astype(jnp.float32),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    sel = jax.nn.one_hot(flat % 128, 128, dtype=jnp.float32)
+    return (tmp * sel).sum(-1).astype(lut.dtype).reshape(idx.shape)
+
+
 def _compact_labels_jit(lab: jnp.ndarray):
     """Scatter-free id compaction for min-flat-index labels.
 
@@ -190,7 +227,8 @@ def _compact_labels_jit(lab: jnp.ndarray):
                                jnp.cumsum(row_cum[:, -1])[:-1]])
     rank = (row_cum + row_off[:, None]).reshape(-1)
     n = rank[-1]
-    lab_k = jnp.where(lab > 0, rank[jnp.clip(lab - 1, 0, h * w - 1)], 0)
+    root_rank = _row_gather(rank, jnp.clip(lab - 1, 0, h * w - 1))
+    lab_k = jnp.where(lab > 0, root_rank, 0)
     return lab_k, n
 
 
@@ -241,10 +279,10 @@ def remove_small_objects(lab: jnp.ndarray, min_size: int) -> jnp.ndarray:
 
     def fast(lab, lab_k):
         sizes = _sizes_histogram(lab_k, _HIST_CAP)
-        keep = sizes >= min_size
-        keep = keep.at[0].set(False)
+        keep = (sizes >= min_size).astype(jnp.int32)
+        keep = keep.at[0].set(0)
         safe = jnp.clip(lab_k, 0, _HIST_CAP - 1)
-        return jnp.where(keep[safe], lab_k, 0)
+        return jnp.where(_lut_matmul(keep, safe) > 0, lab_k, 0)
 
     def slow(lab, lab_k):
         sizes = label_sizes(lab)
@@ -435,7 +473,7 @@ def fill_label_holes(lab: jnp.ndarray, cc_impl: str = "lax") -> jnp.ndarray:
     wp = w + 2
     lab_pad_flat = jnp.pad(lab, 1).reshape(-1)
     above_root = jnp.clip(bg_lab - 1 - wp, 0, (h + 2) * wp - 1)
-    fill = jnp.where(holes, lab_pad_flat[above_root], 0)
+    fill = jnp.where(holes, _row_gather(lab_pad_flat, above_root), 0)
     # contested (hole bounded by >1 instance) detection is elementwise:
     # some hole pixel then borders an instance other than the adopted one
     nbr_min = _neighbor_min(jnp.where(lab > 0, lab, big), big)
