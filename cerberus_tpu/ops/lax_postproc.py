@@ -232,12 +232,38 @@ def _compact_labels_jit(lab: jnp.ndarray):
     return lab_k, n
 
 
+def _hist_impl() -> str:
+    """Same env/platform contract as tpu_postproc._cc_impl: CERBERUS_PALLAS
+    '0' kills the pallas histogram kernel, non-empty force-enables, empty
+    decides by where computation runs."""
+    import os
+
+    env = os.environ.get("CERBERUS_PALLAS", "")
+    if env == "0":
+        return "lax"
+    if env:
+        return "pallas"
+    default_device = jax.config.jax_default_device
+    platform = (default_device.platform if default_device is not None
+                else jax.default_backend())
+    return "pallas" if platform == "tpu" else "lax"
+
+
 def _sizes_histogram(lab_k: jnp.ndarray, cap: int) -> jnp.ndarray:
     """Per-id pixel counts for ids in [0, cap) without a scatter: factor
     id = hi*128 + lo and accumulate onehot(hi)^T @ onehot(lo) on the MXU
     (counts are exact in f32 up to 2^24; keep decisions only ever compare
     against min_size <= O(1e3)). Chunked so the one-hot temps stay bounded
-    on 4096^2 WSI postproc tiles."""
+    on 4096^2 WSI postproc tiles.
+
+    On TPU the pallas kernel (ops/pallas_hist.py) computes the same
+    histogram with VMEM-resident one-hots — this XLA scan materializes
+    the one-hot planes in HBM (~10.2 ms vs ~1 ms at 2.65M px)."""
+    if _hist_impl() == "pallas":
+        from .pallas_hist import hist16384_pallas
+
+        assert cap == _HIST_CAP
+        return hist16384_pallas(lab_k)
     side = int(np.sqrt(cap))
     assert side * side == cap
     flat = lab_k.reshape(-1)

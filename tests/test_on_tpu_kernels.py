@@ -57,6 +57,21 @@ def test_blocked_strip_cc_real_mosaic():
     assert _label_isomorphic(ref, got)
 
 
+def test_mxu_histogram_real_mosaic():
+    """16384-bin MXU histogram, compiled on device, vs np.bincount at the
+    WSI postproc canvas scale (id plane > the VMEM-resident CC cap)."""
+    _require_tpu()
+    import jax.numpy as jnp
+
+    from cerberus_tpu.ops.pallas_hist import N_BINS, hist16384_pallas
+
+    rng = np.random.default_rng(11)
+    ids = rng.integers(0, 3000, size=(1152, 2304)).astype(np.int32)
+    got = np.asarray(hist16384_pallas(jnp.asarray(ids)))
+    np.testing.assert_array_equal(
+        got, np.bincount(ids.reshape(-1), minlength=N_BINS))
+
+
 def test_gland_family_on_device_matches_cpu_oracle():
     """The full eroded-contour instance family through the real on-chip
     path (pallas CC engaged by default on TPU) vs the CPU oracle."""

@@ -10,6 +10,10 @@
 set -u
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
 cd "$REPO"
+# single-instance guard: two watchers would run the (device-heavy)
+# measurement suite concurrently on the same healthy window
+exec 9>/tmp/chip_watch.lock
+flock -n 9 || { echo "chip_watch already running" >&2; exit 0; }
 LOG="$REPO/logging/chip_watch.log"
 OUT="$REPO/logging/healthy_results.log"
 mkdir -p "$REPO/logging"
