@@ -334,7 +334,10 @@ def main() -> None:
     # EQUIVALENTS (labeled output px / 144^2) for comparability.
     dense = None
     if os.environ.get("CERBERUS_BENCH_DENSE") == "1":
-        d_batch, d_in, d_out = 4, 1168, 864
+        # dense batch is its own knob (windows are 6.8x a 448^2 tile; 16 is
+        # the verified 16 GB HBM ceiling — VERDICT r2 task 5 sweep)
+        d_batch = int(os.environ.get("CERBERUS_BENCH_DENSE_BATCH", "4"))
+        d_in, d_out = 1168, 864
         d_base = rng.random((d_batch, d_in // 8, d_in // 8, 3))
         d_imgs = jax.device_put(np.clip(np.kron(
             d_base, np.ones((1, 8, 8, 1))) * 255, 0, 255).astype(np.uint8))

@@ -100,20 +100,16 @@ def _cc_impl() -> str:
     return "pallas" if platform == "tpu" else "lax"
 
 
-def _blob_impl(shape, cc_impl: str) -> str:
-    """Static CC-backend choice for BLOB-SHAPED content (marker blobs,
-    instance backgrounds): on canvases past the VMEM-resident cap the
-    blocked-strip pallas kernel loses to the multigrid-seeded lax CC on
-    such content (round-3 on-chip microbench at 1152x2304: lax 3.2 ms vs
-    blocked 5.6-5.7 ms for marker/bg planes; outputs identical), because
-    dense blobs converge in a few seeded sweeps while the strip kernel
-    still pays its full carry passes. Thin/eroded masks are the opposite
-    (lax 248 ms vs blocked 19.5 ms) — call sites labeling erosion-derived
-    masks must keep ``cc_impl`` unchanged. Below the cap the VMEM-resident
-    kernel wins on everything (4.1x at 448^2), so the hint is a no-op."""
-    if shape[-1] * shape[-2] > _PALLAS_CC_MAX_PIXELS:
-        return "lax"
-    return cc_impl
+# NEGATIVE RESULT (round 3, do not redo): routing "blob-shaped" planes
+# (markers, hole-fill backgrounds) to the lax CC past the VMEM-resident
+# cap. A STANDALONE microbench at 1152x2304 showed lax 3.2 ms vs
+# blocked-strip 5.6 ms on such planes, but inside the fused family
+# programs the same routing ballooned the nuclei family 95 -> 724 ms and
+# the gland family 31 -> 132 ms (tools/bench_postproc_spans.py, same
+# canvas, same chip) — the lax while_loop's convergence inside a large
+# fused program does not match its standalone behavior, and the gamble is
+# hundreds of ms against a ~2 ms best-case saving. Keep the pallas
+# blocked-strip kernel for every labeling past the cap.
 
 
 @partial(jax.jit, static_argnames=("thresh", "min_size", "ksize", "cc_impl"))
@@ -127,9 +123,8 @@ def _inner_contour_instances(inner_raw, cnt_raw, thresh: float,
     lab = L.remove_small_objects(lab, min_size)
     lab = L.dilate_labels(lab, ksize)
     # thread the CC backend into the hole fill's internal bg labeling too
-    # (it labels the full canvas a second time — round-3 profiling); the
-    # bg-ring plane is blob-shaped, so big canvases take the lax CC
-    return L.fill_label_holes(lab, cc_impl=_blob_impl(lab.shape, cc_impl))
+    # (it labels the full canvas a second time — round-3 profiling)
+    return L.fill_label_holes(lab, cc_impl=cc_impl)
 
 
 @partial(jax.jit, static_argnames=("cc_impl",))
@@ -137,18 +132,14 @@ def _nuclei_watershed(inner_raw, cnt_raw, cc_impl: str = "lax"):
     """nuclei ErodedContourMap: erode(inner+contour>.5, k3) mask (>=8 px),
     inner>.5 markers (>=4 px, holes filled), watershed(-inner)."""
     se3 = L.disk_kernel(3)
-    # the eroded union mask has thin corridors — keep the pallas kernel
-    # for it; markers and hole-fill backgrounds are blob-shaped, where the
-    # lax CC wins past the VMEM cap (_blob_impl)
-    blob = _blob_impl(inner_raw.shape, cc_impl)
     msk = L.binary_erode((inner_raw + cnt_raw) > 0.5, se3)
     msk_lab = _cc(msk, cc_impl)
     msk = L.remove_small_objects(msk_lab, 8) > 0
 
-    mrk_lab = _cc(inner_raw > 0.5, blob)
+    mrk_lab = _cc(inner_raw > 0.5, cc_impl)
     mrk_lab = L.remove_small_objects(mrk_lab, 4)
-    mrk = L.fill_holes(mrk_lab > 0, cc_impl=blob)
-    markers = _cc(mrk, blob)
+    mrk = L.fill_holes(mrk_lab > 0, cc_impl=cc_impl)
+    markers = _cc(mrk, cc_impl)
     # NB: a VMEM-resident pallas watershed exists (ops/pallas_watershed.py)
     # but measured EQUAL to the lax kernel on v5e (58 vs 62 ms at 448^2) —
     # the 64-level flood loop dominates either way — so the lax path stays
@@ -163,7 +154,7 @@ def _eroded_map_instances(fg_raw, thresh: float, min_size: int, ksize: int,
     lab = _cc(fg, cc_impl)
     lab = L.remove_small_objects(lab, min_size)
     lab = L.dilate_labels(lab, ksize)
-    return L.fill_label_holes(lab, cc_impl=_blob_impl(lab.shape, cc_impl))
+    return L.fill_label_holes(lab, cc_impl=cc_impl)
 
 
 def _compact_labels(lab: np.ndarray) -> np.ndarray:

@@ -45,24 +45,30 @@ def main() -> None:
         best = max(scored, key=lambda r: r["value"])
         print(json.dumps({"metric": "batch sweep best", "batch": best["batch"],
                           "value": best["value"], "unit": "tiles/s"}))
-        # one more run at the winning batch with the dense-mode forward
-        # measurement enabled (1168->864 windows, 448-tile equivalents)
-        env = dict(os.environ, CERBERUS_BENCH_BATCH=str(best["batch"]),
-                   CERBERUS_BENCH_DENSE="1")
-        try:
-            proc = subprocess.run(
-                [sys.executable, os.path.join(REPO, "bench.py")],
-                capture_output=True, text=True, cwd=REPO, env=env,
-                timeout=1800)
-            print(json.dumps({"metric": "dense-mode run",
-                              **json.loads(
-                                  proc.stdout.strip().splitlines()[-1])}))
-        except subprocess.TimeoutExpired:
-            print(json.dumps({"metric": "dense-mode run",
-                              "error": "subprocess timeout"}))
-        except (json.JSONDecodeError, IndexError):
-            print(json.dumps({"metric": "dense-mode run",
-                              "error": proc.stderr[-500:]}))
+        # dense-mode sweep at the winning windowed batch: 1168->864
+        # windows, batches 4/8/16 (16 = the verified 16 GB HBM ceiling),
+        # reported in 448^2-tile equivalents (VERDICT r2 task 5)
+        for d_batch in (4, 8, 16):
+            env = dict(os.environ, CERBERUS_BENCH_BATCH=str(best["batch"]),
+                       CERBERUS_BENCH_DENSE="1",
+                       CERBERUS_BENCH_DENSE_BATCH=str(d_batch))
+            try:
+                proc = subprocess.run(
+                    [sys.executable, os.path.join(REPO, "bench.py")],
+                    capture_output=True, text=True, cwd=REPO, env=env,
+                    timeout=1800)
+                print(json.dumps({"metric": "dense-mode run",
+                                  "dense_batch": d_batch,
+                                  **json.loads(
+                                      proc.stdout.strip().splitlines()[-1])}))
+            except subprocess.TimeoutExpired:
+                print(json.dumps({"metric": "dense-mode run",
+                                  "dense_batch": d_batch,
+                                  "error": "subprocess timeout"}))
+            except (json.JSONDecodeError, IndexError):
+                print(json.dumps({"metric": "dense-mode run",
+                                  "dense_batch": d_batch,
+                                  "error": proc.stderr[-500:]}))
 
 
 if __name__ == "__main__":
