@@ -32,11 +32,16 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .pallas_cc import run_min_axis
+
+
 def _strip_rows(w: int) -> int:
-    """Strip height targeting ~1 MB per (rows, w) i32 plane: the kernel
-    keeps ~8 strip-sized live buffers (3 refs + shifted temps), and scoped
-    VMEM is 16 MB — 128 rows at w=4096 OOMs the compiler at 22 MB."""
-    rows = (1 << 20) // (w * 4)
+    """Strip height targeting ~0.5 MB per (rows, w) i32 plane: the run-min
+    scan body keeps ~16 strip-sized live buffers (3 refs + forward/backward
+    value+connectivity planes + shifted temps) against the 16 MB scoped
+    VMEM cap — 1 MB strips OOMed the Mosaic compiler by 740 KB at
+    w=2048."""
+    rows = (1 << 19) // (w * 4)
     return max(8, min(512, rows - rows % 8))
 
 
@@ -79,9 +84,13 @@ def _strip_kernel(mask_ref, lab_in_ref, lab_out_ref, changed_ref, carry_ref,
 
     def body(state):
         lab, _ = state
-        new = lab
-        for _ in range(2):
-            new = jnp.where(mask, jnp.minimum(new, neighbor_min(new)), big)
+        # the neighbor-min sweep ingests the carry halo; the run-min scans
+        # (pallas_cc.run_min_axis) then cross whole straight runs per
+        # application, so the strip fixed point converges in O(geodesic
+        # turns) iterations instead of O(strip diameter) sweeps
+        new = jnp.where(mask, jnp.minimum(lab, neighbor_min(lab)), big)
+        new = run_min_axis(new, mask, big, 1)
+        new = run_min_axis(new, mask, big, 0)
         return new, jnp.any(new != lab)
 
     lab, _ = jax.lax.while_loop(cond, body, (lab_in, jnp.bool_(True)))
