@@ -60,13 +60,58 @@ def _se_conv(x: jnp.ndarray, se: jnp.ndarray) -> jnp.ndarray:
     return out[0, ..., 0]
 
 
+def _shift_bool(x: jnp.ndarray, dy: int, dx: int, fill: bool) -> jnp.ndarray:
+    """x[p + (dy, dx)] with out-of-image -> fill (static shifts)."""
+    h, w = x.shape
+
+    def pad(shape):
+        return jnp.full(shape, fill, bool)
+
+    if dy > 0:
+        x = jnp.concatenate([x[dy:], pad((dy, w))], 0)
+    elif dy < 0:
+        x = jnp.concatenate([pad((-dy, w)), x[:dy]], 0)
+    if dx > 0:
+        x = jnp.concatenate([x[:, dx:], pad((h, dx))], 1)
+    elif dx < 0:
+        x = jnp.concatenate([pad((h, -dx)), x[:, :dx]], 1)
+    return x
+
+
+_SE_SHIFT_MAX_TAPS = 25  # shifted and/or chains beat the 1-channel f32
+
+
+# conv for small SEs (the conv pays layout transposes + f32 casts: 4.5 ms
+# vs <1 ms for the 5-tap disk3 erosion at 1152x2304 — round-3 device
+# profiling); big SEs amortize the conv better
+def _se_offsets(se: np.ndarray):
+    anchor = np.array([se.shape[0] // 2, se.shape[1] // 2])
+    return [tuple(off) for off in (np.argwhere(np.asarray(se) > 0) - anchor)]
+
+
 def binary_dilate(x, se) -> jnp.ndarray:
+    offs = _se_offsets(np.asarray(se))
+    if len(offs) <= _SE_SHIFT_MAX_TAPS:
+        x = jnp.asarray(x, bool)
+        out = jnp.zeros_like(x)
+        for dy, dx in offs:
+            # correlation tap q reads x[p + q - anchor]; OOB = background
+            # (conv_general_dilated zero-pads the input)
+            out = out | _shift_bool(x, dy, dx, False)
+        return out
     return _se_conv(x, se) > 0.5
 
 
 def binary_erode(x, se) -> jnp.ndarray:
     """cv2-compatible: out-of-image neighborhood counts as foreground
     (cv2.erode uses BORDER_CONSTANT with +inf for erosion)."""
+    offs = _se_offsets(np.asarray(se))
+    if len(offs) <= _SE_SHIFT_MAX_TAPS:
+        x = jnp.asarray(x, bool)
+        out = jnp.ones_like(x)
+        for dy, dx in offs:
+            out = out & _shift_bool(x, dy, dx, True)
+        return out
     inv = _se_conv(1.0 - jnp.asarray(x, jnp.float32), se)
     return inv < 0.5
 
