@@ -194,3 +194,27 @@ def test_connected_components_spiral_long_geodesic():
     ref, n_ref = cc_cpu.label(mask)
     got = np.asarray(L.connected_components(jnp.asarray(mask)))
     assert _label_isomorphic(ref, got)
+
+
+def test_morphology_shift_and_conv_paths_agree():
+    """binary_erode/dilate take a shifted and/or chain for <=25-tap SEs
+    and the conv for bigger ones — both must implement the identical
+    cv2-anchored correlation (incl. even-kernel anchor and border rules)."""
+    import cv2
+
+    rng = np.random.default_rng(7)
+    mask = (rng.random((96, 128)) > 0.55)
+    for k in (2, 3, 4, 5, 7, 9):  # 9 -> 69 taps: conv path; rest: shifts
+        se = L.disk_kernel(k)
+        got_d = np.asarray(L.binary_dilate(jnp.asarray(mask), se))
+        got_e = np.asarray(L.binary_erode(jnp.asarray(mask), se))
+        inv = np.asarray(L._se_conv(1.0 - jnp.asarray(mask, jnp.float32), se))
+        conv_e = inv < 0.5
+        conv_d = np.asarray(L._se_conv(jnp.asarray(mask, jnp.float32),
+                                       se)) > 0.5
+        np.testing.assert_array_equal(got_d, conv_d, err_msg=f"dilate k={k}")
+        np.testing.assert_array_equal(got_e, conv_e, err_msg=f"erode k={k}")
+        ref_d = cv2.dilate(mask.astype(np.uint8), se.astype(np.uint8)) > 0
+        ref_e = cv2.erode(mask.astype(np.uint8), se.astype(np.uint8)) > 0
+        np.testing.assert_array_equal(got_d, ref_d, err_msg=f"cv2 d k={k}")
+        np.testing.assert_array_equal(got_e, ref_e, err_msg=f"cv2 e k={k}")
