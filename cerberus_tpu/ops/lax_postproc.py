@@ -216,6 +216,28 @@ _HIST_CAP = 16384
 _HIST_CHUNK = 1 << 20  # px per accumulation step bounds the one-hot temps
 
 
+# pixel-axis chunk for the (P, 128) row/one-hot temps of the gather and
+# LUT lookups below: unchunked, a 47M px canvas (49k^2 WSI runs) wants a
+# 24 GB temp and OOMs 16 GB HBM at compile time (round-3 regression).
+# 4M px chunks bound the temps at 2 GB; smaller chunks cost real fusion
+# (1M chunks added ~10 ms e2e at the 2.65M px bench canvas, which 4M
+# keeps single-shot)
+_GATHER_CHUNK = 1 << 22
+
+
+def _chunked_px(flat: jnp.ndarray, body) -> jnp.ndarray:
+    """Apply ``body`` ((chunk,) -> (chunk,)) over a flat pixel vector in
+    bounded chunks (single call when it already fits)."""
+    m = flat.shape[0]
+    if m <= _GATHER_CHUNK:
+        return body(flat)
+    pad = (-m) % _GATHER_CHUNK
+    if pad:
+        flat = jnp.concatenate([flat, jnp.zeros((pad,), flat.dtype)])
+    out = jax.lax.map(body, flat.reshape(-1, _GATHER_CHUNK))
+    return out.reshape(-1)[:m]
+
+
 def _row_gather(table_flat: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """table_flat[idx] via 128-wide row slices + a one-hot column select.
 
@@ -223,17 +245,23 @@ def _row_gather(table_flat: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     table size (round-3 microbench: 19 ms for 2.65M lookups); gathering
     contiguous 128-lane ROWS instead is bandwidth-shaped (7.3 ms), and the
     column select fuses. Exact for int32 values < 2^24 (the select rides
-    f32). Any index shape; table is zero-padded to a 128 multiple."""
+    f32). Any index shape; table is zero-padded to a 128 multiple;
+    lookups stream in _GATHER_CHUNK chunks so the (chunk, 128) row temp
+    stays bounded on giant canvases."""
     n = table_flat.shape[0]
     pad = (-n) % 128
     if pad:
         table_flat = jnp.concatenate(
             [table_flat, jnp.zeros((pad,), table_flat.dtype)])
     t2 = table_flat.reshape(-1, 128)
-    flat = idx.reshape(-1)
-    rows = t2[flat // 128].astype(jnp.float32)
-    sel = jax.nn.one_hot(flat % 128, 128, dtype=jnp.float32)
-    return (rows * sel).sum(-1).astype(table_flat.dtype).reshape(idx.shape)
+
+    def body(flat):
+        rows = t2[flat // 128].astype(jnp.float32)
+        sel = jax.nn.one_hot(flat % 128, 128, dtype=jnp.float32)
+        return (rows * sel).sum(-1).astype(table_flat.dtype)
+
+    # chunk padding is zeros -> indexes row 0; those lanes are discarded
+    return _chunked_px(idx.reshape(-1), body).reshape(idx.shape)
 
 
 def _lut_matmul(lut: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
@@ -242,15 +270,20 @@ def _lut_matmul(lut: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     for the scalar gather (round-3 microbench). Exact for values < 2^24
     (one-hots are exact in bf16; accumulation in f32)."""
     assert lut.shape[0] == _HIST_CAP
-    flat = idx.reshape(-1)
-    # f32 operands: one-hots are exact either way, but a bf16 LUT would
-    # round values > 256 (8-bit mantissa) — f32 keeps lookups exact to 2^24
-    hi = jax.nn.one_hot(flat // 128, 128, dtype=jnp.float32)
-    tmp = jax.lax.dot_general(
-        hi, lut.reshape(128, 128).astype(jnp.float32),
-        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    sel = jax.nn.one_hot(flat % 128, 128, dtype=jnp.float32)
-    return (tmp * sel).sum(-1).astype(lut.dtype).reshape(idx.shape)
+    lut2 = lut.reshape(128, 128).astype(jnp.float32)
+
+    def body(flat):
+        # f32 operands: one-hots are exact either way, but a bf16 LUT
+        # would round values > 256 (8-bit mantissa) — f32 keeps lookups
+        # exact to 2^24
+        hi = jax.nn.one_hot(flat // 128, 128, dtype=jnp.float32)
+        tmp = jax.lax.dot_general(
+            hi, lut2, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        sel = jax.nn.one_hot(flat % 128, 128, dtype=jnp.float32)
+        return (tmp * sel).sum(-1).astype(lut.dtype)
+
+    return _chunked_px(idx.reshape(-1), body).reshape(idx.shape)
 
 
 def _compact_labels_jit(lab: jnp.ndarray):

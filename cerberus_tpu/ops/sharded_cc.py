@@ -22,6 +22,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from . import lax_postproc as L
+from .pallas_cc import run_min_axis
 
 AXIS = "rows"  # default axis name; public fns adopt the mesh's own axis
 
@@ -107,12 +108,26 @@ def _local_pass(lab, mask, big, row0, w):
         lab, changed, it = state
         return changed
 
+    # iteration strategy is platform-static (trace-time choice): on TPU
+    # the segmented run-min scans (pallas_cc.run_min_axis — labels cross
+    # whole straight runs per iteration, O(geodesic turns) convergence)
+    # win like they do in the single-device kernels; on CPU the log2
+    # shifted chains cost more than they save per iteration (the 8-dev
+    # CPU-mesh dryrun regressed 110 -> 170 s) so the multigrid-seeded
+    # sweep cadence stays. Both reach the same fixed point.
+    use_scans = jax.default_backend() == "tpu"
+
     def body(state):
         lab, _, it = state
-        new = lab
-        for _ in range(4):
-            new = jnp.where(mask, jnp.minimum(new, L._neighbor_min(new, big)),
-                            big)
+        if use_scans:
+            new = run_min_axis(lab, mask, big, 1)
+            new = run_min_axis(new, mask, big, 0)
+        else:
+            new = lab
+            for _ in range(4):
+                new = jnp.where(mask,
+                                jnp.minimum(new, L._neighbor_min(new, big)),
+                                big)
         new = jax.lax.cond(it % 16 == 15, lambda x: jump(jump(x)),
                            lambda x: x, new)
         return new, jnp.any(new != lab), it + 1

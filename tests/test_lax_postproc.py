@@ -218,3 +218,24 @@ def test_morphology_shift_and_conv_paths_agree():
         ref_e = cv2.erode(mask.astype(np.uint8), se.astype(np.uint8)) > 0
         np.testing.assert_array_equal(got_d, ref_d, err_msg=f"cv2 d k={k}")
         np.testing.assert_array_equal(got_e, ref_e, err_msg=f"cv2 e k={k}")
+
+
+def test_chunked_gather_and_lut_match_unchunked(monkeypatch):
+    """The pixel-axis chunking of _row_gather/_lut_matmul (bounds the
+    (P, 128) temps that OOMed 16 GB HBM on 47M px canvases) must be
+    value-identical to the single-shot path, including the ragged tail."""
+    rng = np.random.default_rng(11)
+    table = jnp.asarray(rng.integers(0, 1 << 22, 5000, dtype=np.int32))
+    idx = rng.integers(0, 5000, size=(123, 77)).astype(np.int32)
+    lut = jnp.asarray(rng.integers(0, 2, L._HIST_CAP).astype(np.int32))
+    idx_l = rng.integers(0, L._HIST_CAP, size=(123, 77)).astype(np.int32)
+    want_g = np.asarray(L._row_gather(table, jnp.asarray(idx)))
+    want_l = np.asarray(L._lut_matmul(lut, jnp.asarray(idx_l)))
+    monkeypatch.setattr(L, "_GATHER_CHUNK", 1000)  # force chunking + tail
+    got_g = np.asarray(L._row_gather(table, jnp.asarray(idx)))
+    got_l = np.asarray(L._lut_matmul(lut, jnp.asarray(idx_l)))
+    np.testing.assert_array_equal(got_g, want_g)
+    np.testing.assert_array_equal(got_l, want_l)
+    np.testing.assert_array_equal(want_g,
+                                  np.asarray(table)[idx.reshape(-1)]
+                                  .reshape(idx.shape))
