@@ -26,6 +26,16 @@ from ..data.patching import make_channel_index_map
 from ..models.layers import center_crop
 from ..models.net_desc import net_forward
 
+
+def _default_backend_is_tpu() -> bool:
+    """Where computation actually runs — a pinned jax_default_device (tests
+    pin CPU while the axon TPU plugin stays the default backend) wins over
+    the backend name (same contract as ops/tpu_postproc._cc_impl)."""
+    default_device = jax.config.jax_default_device
+    platform = (default_device.platform if default_device is not None
+                else jax.default_backend())
+    return platform == "tpu"
+
 # NB: the reference remaps decoder names to head codes inside infer_step
 # (models/run_desc.py:466-473, Gland -> Gland-INST etc.); here net_forward
 # already emits head codes, so no remap table is needed.
@@ -95,8 +105,32 @@ def fused_infer_outputs(params, imgs, cfg: ModelConfig, output_shape: int,
     if plan is not None:
         from ..models.valid_decode import valid_head_outputs
 
-        pred_dict = valid_head_outputs(params, imgs, cfg, plan, compute_dtype,
-                                       pclass_cells)
+        # width-paired towers (models/paired_decode.py): same windows, 128-
+        # channel lane-filling convs + interleave-free upsampling. Default ON
+        # for TPU lowering (18% faster dense forward, 3% windowed, measured
+        # device-side); OFF elsewhere so CPU runs keep bit-exact parity with
+        # the unpaired reference path (paired reassociates conv accumulation:
+        # f32 rel ~5e-6, bf16 rel ~3e-2 on raw logits — PARITY.md).
+        import os
+
+        use_paired = os.environ.get("CERBERUS_PAIRED")
+        if use_paired is None:
+            use_paired = "1" if _default_backend_is_tpu() else "0"
+        if use_paired == "1":
+            from ..models.paired_decode import (
+                paired_head_outputs,
+                supports_paired,
+            )
+
+            if supports_paired(plan, int(imgs.shape[1])):
+                pred_dict = paired_head_outputs(params, imgs, cfg, plan,
+                                                compute_dtype, pclass_cells)
+            else:
+                pred_dict = valid_head_outputs(params, imgs, cfg, plan,
+                                               compute_dtype, pclass_cells)
+        else:
+            pred_dict = valid_head_outputs(params, imgs, cfg, plan,
+                                           compute_dtype, pclass_cells)
     else:
         pred_dict = model_head_outputs(params, imgs, cfg, compute_dtype,
                                        fused, head_specs, pclass_cells)
