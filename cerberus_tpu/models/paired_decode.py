@@ -156,6 +156,26 @@ def _upsample_w_crop_pair(x, lo: int, length: int):
     return jnp.concatenate([p0, p1], axis=-1)
 
 
+def _crop_w_paired(t, win):
+    """Square-window crop of an already width-paired (phase-0) feature map.
+
+    Rows crop normally; columns [lo, hi) with even ``lo`` are a whole-block
+    slice. An odd ``lo`` re-phases: window-local block i covers global
+    columns (lo+2i, lo+2i+1) = (block (lo-1)//2 + i, parity 1) and
+    (block (lo+1)//2 + i, parity 0) — two shifted channel-half slices whose
+    concat IS the locally-paired crop (fuses into the consuming conv's
+    input; no full-map repack)."""
+    lo, hi = win
+    if lo % 2 == 0:
+        return t[:, lo:hi, lo // 2:hi // 2, :]
+    c = t.shape[-1] // 2
+    j0 = (lo - 1) // 2
+    nb = (hi - lo) // 2
+    local_p0 = t[:, lo:hi, j0:j0 + nb, c:]
+    local_p1 = t[:, lo:hi, j0 + 1:j0 + 1 + nb, :c]
+    return jnp.concatenate([local_p0, local_p1], axis=-1)
+
+
 def supports_paired(plan: ValidPlan, in_size: int) -> bool:
     """Pairing needs every tower window to have even width.
 
@@ -202,10 +222,23 @@ def paired_head_outputs(params, imgs, cfg: ModelConfig, plan: ValidPlan,
     window), plus the Patch-Class grid head on the unpaired bottom features.
     """
     from .net_desc import _patch_class_head, pclass_for_cells
+    from .paired_encoder import resnet_forward_paired, supports_paired_encoder
 
-    _init, backbone_fwd, _filters = get_backbone(cfg.encoder_backbone_name)
     x = imgs.astype(compute_dtype) / jnp.asarray(255.0, compute_dtype)
-    feat_list = backbone_fwd(params, x, "backbone", None)
+    # paired encoder front (models/paired_encoder.py): the stem and layer1
+    # run width-paired too, so their convs fill the MXU lanes and the x0/x1
+    # skips arrive already paired (phase 0 = block-aligned with even-start
+    # crop windows). Basic-block resnets only; others keep the plain front.
+    paired_front = supports_paired_encoder(cfg.encoder_backbone_name,
+                                           int(imgs.shape[2]))
+    if paired_front:
+        feat_list = resnet_forward_paired(params, x,
+                                          cfg.encoder_backbone_name,
+                                          "backbone")
+    else:
+        _init, backbone_fwd, _filters = get_backbone(
+            cfg.encoder_backbone_name)
+        feat_list = backbone_fwd(params, x, "backbone", None)
     bottom_feats = feat_list[-1]
     mapped = conv2d(params["conv_map"], bottom_feats, padding=0)
 
@@ -215,10 +248,14 @@ def paired_head_outputs(params, imgs, cfg: ModelConfig, plan: ValidPlan,
     bw1 = b1 + 1 if (b1 - b0) % 2 else b1
     bottom_p = pair_w(mapped[:, b0:b1, b0:bw1, :])
     # skip order inside a tower is coarse->fine = feat_list[-2] .. feat_list[0]
-    skips_p = [
-        pair_w(_crop(feat_list[len(plan.levels) - 1 - b], lvl.skip_win))
-        for b, lvl in enumerate(plan.levels)
-    ]
+    skips_p = []
+    for b, lvl in enumerate(plan.levels):
+        idx = len(plan.levels) - 1 - b
+        feat = feat_list[idx]
+        if paired_front and idx <= 1:
+            skips_p.append(_crop_w_paired(feat, lvl.skip_win))
+        else:
+            skips_p.append(pair_w(_crop(feat, lvl.skip_win)))
 
     output_dict: Dict[str, jnp.ndarray] = {}
     prev_out = None
