@@ -229,8 +229,19 @@ def paired_head_outputs(params, imgs, cfg: ModelConfig, plan: ValidPlan,
     # run width-paired too, so their convs fill the MXU lanes and the x0/x1
     # skips arrive already paired (phase 0 = block-aligned with even-start
     # crop windows). Basic-block resnets only; others keep the plain front.
-    paired_front = supports_paired_encoder(cfg.encoder_backbone_name,
-                                           int(imgs.shape[2]))
+    # Batch-gated: at small per-device batches XLA lowers the 64-channel
+    # encoder stages batch-minor and starves the MXU lanes (device e2e at
+    # batch 8: 395.6 -> 456.3 t/s paired), while at batch >= 32 the
+    # batch-minor layout is already lane-full and pairing's extra zero
+    # MACs lose slightly (161 -> 172 ms at batch 128) — BASELINE.md
+    # round-3. CERBERUS_PAIRED_ENCODER=1/0 overrides the auto gate.
+    import os as _os
+
+    _pe = _os.environ.get("CERBERUS_PAIRED_ENCODER")
+    paired_front = (supports_paired_encoder(cfg.encoder_backbone_name,
+                                            int(imgs.shape[2]))
+                    and (int(imgs.shape[0]) < 32 if _pe is None
+                         else _pe == "1"))
     if paired_front:
         feat_list = resnet_forward_paired(params, x,
                                           cfg.encoder_backbone_name,

@@ -99,6 +99,34 @@ def pair_same3_kernel(kernel: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
+def pair_same3_ps_kernel(kernel: jnp.ndarray) -> jnp.ndarray:
+    """(3, 3, Ci, Co) SAME(pad 1) -> (3, 2, 2Ci, 2Co) PHASE-SHIFT kernel.
+
+    The phase-0 SAME repack (pair_same3_kernel) spans 3 input blocks, so
+    half its entries are zeros (2x MACs).  Shifting the output pairing one
+    column left — output block J covers columns (2J+g-1, 2J+g) for input
+    origin g — packs the 3-tap window into exactly 2 input blocks:
+    output parity p', tap k' in {-1,0,1} reads input block J-1 + (1+p'+k')//2,
+    parity (1+p'+k')%2.  6 of 8 slots filled -> 4/3 MACs at full lanes.
+
+    Contract for the caller (see _layer1_ps_block): pad the input one zero
+    block on each side, run VALID; output has Wb+1 blocks at origin g-1
+    with one junk column at each end (J=0 parity 0 and J=Wb parity 1) that
+    must be zeroed before feeding another SAME conv and sliced away when
+    re-normalizing to origin g.
+    """
+    kh, kw, ci, co = kernel.shape
+    assert kh == 3 and kw == 3, kernel.shape
+    out = jnp.zeros((3, 2, 2 * ci, 2 * co), kernel.dtype)
+    for p in range(2):
+        for t in range(3):          # k' = t - 1
+            b = (p + t) // 2        # (1 + p' + k') // 2
+            q = (p + t) % 2
+            out = out.at[:, b, q * ci:(q + 1) * ci,
+                         p * co:(p + 1) * co].set(kernel[:, t])
+    return out
+
+
 def pair_s2_exit_kernel(kernel: jnp.ndarray) -> jnp.ndarray:
     """(3, 3, Ci, Co) stride-2 SAME(pad 1) -> (3, 2, 2Ci, Co), paired input,
     UNPAIRED output.
@@ -133,29 +161,39 @@ def _conv_paired(kernel, x, w_pad, h_stride: int = 1,
 def max_pool_paired(x: jnp.ndarray) -> jnp.ndarray:
     """torch MaxPool2d(3, stride 2, pad 1) on a phase-0 paired tensor.
 
-    Output column 2i reads columns 4i-1..4i+1; 2i+1 reads 4i+1..4i+3.  On
-    the quad view Q[i] = blocks (2i, 2i+1) those are channel slices of
-    Q[i-1] and Q[i], so the W pooling is three elementwise maxes; the H
-    pooling stays a stride-2 reduce_window.  Requires W % 4 == 0 (every
+    Separable max: pool H on the paired tensor first (halves every
+    subsequent temp), then unpair -> pool W -> re-pair.  The un/re-pair
+    reshapes are physical lane retiles on TPU, but they run on the
+    H-halved map (~0.8 GB at batch 128) — the earlier quad-view
+    formulation's (Wb, 2C) -> (Wb/2, 4C) reshape + shifted-slice concat
+    measured ~31 ms of copy/slice/fusion at batch 128 vs ~3 ms for this
+    ordering (BASELINE.md round-3).  max is order-free, so outputs are
+    exactly torch MaxPool2d(3, 2, 1).  Requires W % 4 == 0 (every
     margin-304 geometry satisfies it).
     """
     n, h, wb, c2 = x.shape
     assert wb % 2 == 0, x.shape
     c = c2 // 2
-    q = x.reshape(n, h, wb // 2, 2 * c2)
     neg = (-jnp.inf if jnp.issubdtype(x.dtype, jnp.floating)
            else jnp.iinfo(x.dtype).min)
-    prev_p1 = jnp.concatenate(
-        [jnp.full_like(q[:, :, :1, 3 * c:], neg), q[:, :, :-1, 3 * c:]],
-        axis=2)                                   # block 2i-1, parity 1
-    out_p0 = jnp.maximum(jnp.maximum(prev_p1, q[..., 0:c]), q[..., c:2 * c])
-    out_p1 = jnp.maximum(jnp.maximum(q[..., c:2 * c], q[..., 2 * c:3 * c]),
-                         q[..., 3 * c:])
-    out = jnp.concatenate([out_p0, out_p1], axis=-1)
-    return jax.lax.reduce_window(
-        out, neg, jax.lax.max, window_dimensions=(1, 3, 1, 1),
+    xh = jax.lax.reduce_window(
+        x, neg, jax.lax.max, window_dimensions=(1, 3, 1, 1),
         window_strides=(1, 2, 1, 1),
         padding=[(0, 0), (1, 1), (0, 0), (0, 0)])
+    # NEGATIVE RESULTS (round 3, do not redo): (a) the quad view
+    # (Wb, 2C) -> (Wb/2, 4C) is a physical lane retile — ~31 ms of
+    # copy/slice at batch 128; (b) strided W-block slice maxes
+    # (p1[2i-1], p0[2i], ...) don't fuse either — the slices and the
+    # channel concat materialize (~24 ms + a slower overall schedule).
+    # The unpair -> reduce_window -> re-pair retiles on the H-halved map
+    # measured cheapest (~11 ms total at batch 128).
+    hu = xh.shape[1]
+    xu = xh.reshape(n, hu, 2 * wb, c)            # unpair
+    xw = jax.lax.reduce_window(
+        xu, neg, jax.lax.max, window_dimensions=(1, 1, 3, 1),
+        window_strides=(1, 1, 2, 1),
+        padding=[(0, 0), (0, 0), (1, 1), (0, 0)])
+    return xw.reshape(n, hu, wb // 2, c2)        # re-pair
 
 
 def supports_paired_encoder(arch: str, width: int) -> bool:
@@ -183,7 +221,13 @@ def resnet_forward_paired(params: Dict, x: jnp.ndarray, arch: str,
     x0p = xp = relu(_paired_bn_inference(params, f"{prefix}.bn1", xp))
 
     xp = max_pool_paired(xp)
-    # layer1: paired basic blocks (stride 1, no downsample for basic resnets)
+    # layer1: paired basic blocks (stride 1, no downsample for basic
+    # resnets) on the phase-0 SAME repack. NEGATIVE RESULT (round 3, do
+    # not redo): the phase-shift variant (pair_same3_ps_kernel — width-2
+    # block kernels at 4/3 MACs with junk-column zeroing and a re-align
+    # slice per conv) measured ~equal at batch 128 (171.1 vs 172.3 ms) and
+    # WORSE at dense batch 4 (168.8 vs 163.5 ms): the odd Wb+1/Wb+2 conv
+    # widths cost Mosaic more than the 2x->4/3 MAC cut saves.
     for b in range(counts[0]):
         name = f"{prefix}.layer1.{b}"
         out = _conv_paired(
