@@ -14,6 +14,13 @@ stacks the towers channel-wise and runs the whole decoder bank as:
   * heads: grouped 1x1 convs with per-tower output channels padded to the
     max and sliced back.
 
+NEGATIVE RESULT (round 3, do not redo): a width-PAIRED grouped bank
+(feature_group_count=5 over 128-channel groups — no 2x group padding)
+micro-benched 1.75x SLOWER than five sequential paired convs at the
+finest-level shapes (4.02 vs 2.30 ms, batch 32, (148,74,128) blocks):
+Mosaic's grouped-conv lowering does not recover the MXU throughput of
+the plain convs even with lane-full groups.
+
 Outputs are numerically identical to the sequential path (same dot products,
 same order); a parity test asserts exactness in fp32. Fusion params are
 precomputed once from the flat checkpoint tree (``build_fused_decoder``).
