@@ -138,16 +138,15 @@ def _nuclei_watershed(inner_raw, cnt_raw, cc_impl: str = "lax"):
 
     mrk_lab = _cc(inner_raw > 0.5, cc_impl)
     mrk_lab = L.remove_small_objects(mrk_lab, 4)
-    # oracle does fill_holes -> label (ops/postproc.py:140-141, mirroring
-    # the reference); filling never changes a component's min-flat-index
-    # root (hole pixels sit strictly below/right of the top-left-most
-    # pixel), so fill_label_holes reproduces BOTH the filled support and
-    # the fresh labeling's ids/ordering with ONE ring bg-CC instead of
-    # bg-CC + fg-CC — except a background pocket jointly enclosed by 2+
-    # markers, where label(fill) merges the markers and this keeps them
-    # split (the fill_label_holes divergence class, PARITY.md; never hit
-    # by a real probability map in any oracle-comparison test)
-    markers = L.fill_label_holes(mrk_lab, cc_impl=cc_impl)
+    # NEGATIVE RESULT (round 3, do not redo): replacing fill_holes + CC
+    # with fill_label_holes(mrk_lab) — valid because filling never moves a
+    # component's min-flat-index root — measured SLOWER on nuclei-shaped
+    # planes (family 54.4 -> 59.7 ms at 1152x2304): with thousands of
+    # small markers the owner-gather/lockstep machinery costs more than
+    # the blocked fg-CC it saves. (It stays the right call for the
+    # few-large-instance gland/lumen family, where it was already used.)
+    mrk = L.fill_holes(mrk_lab > 0, cc_impl=cc_impl)
+    markers = _cc(mrk, cc_impl)
     # NB: a VMEM-resident pallas watershed exists (ops/pallas_watershed.py)
     # but measured EQUAL to the lax kernel on v5e (58 vs 62 ms at 448^2) —
     # the 64-level flood loop dominates either way — so the lax path stays
