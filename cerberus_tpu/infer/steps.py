@@ -75,7 +75,8 @@ def fused_infer_outputs(params, imgs, cfg: ModelConfig, output_shape: int,
                         compute_dtype=jnp.bfloat16, fused=None,
                         head_specs=None,
                         out_dtype=jnp.float32,
-                        valid_region: bool = True) -> jnp.ndarray:
+                        valid_region: bool = True,
+                        data_parallel: int = 1) -> jnp.ndarray:
     """Forward + activations + crop -> (N, output_shape, output_shape, C).
 
     ``out_dtype=float16`` halves the D2H payload; probabilities lose nothing
@@ -124,7 +125,8 @@ def fused_infer_outputs(params, imgs, cfg: ModelConfig, output_shape: int,
 
             if supports_paired(plan, int(imgs.shape[1])):
                 pred_dict = paired_head_outputs(params, imgs, cfg, plan,
-                                                compute_dtype, pclass_cells)
+                                                compute_dtype, pclass_cells,
+                                                data_parallel=data_parallel)
             else:
                 pred_dict = valid_head_outputs(params, imgs, cfg, plan,
                                                compute_dtype, pclass_cells)

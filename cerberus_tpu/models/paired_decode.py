@@ -215,33 +215,28 @@ def paired_decoder_tower(params, decoder_name: str, bottom_p, skips_p,
 
 def paired_head_outputs(params, imgs, cfg: ModelConfig, plan: ValidPlan,
                         compute_dtype=jnp.bfloat16,
-                        pclass_cells: int = 1) -> Dict[str, jnp.ndarray]:
+                        pclass_cells: int = 1,
+                        data_parallel: int = 1) -> Dict[str, jnp.ndarray]:
     """Width-paired counterpart of valid_decode.valid_head_outputs.
 
     Same contract: {head_code: (N, out, out, C) logits} (already the central
     window), plus the Patch-Class grid head on the unpaired bottom features.
     """
     from .net_desc import _patch_class_head, pclass_for_cells
-    from .paired_encoder import resnet_forward_paired, supports_paired_encoder
+    from .paired_encoder import resnet_forward_paired, use_paired_front
 
     x = imgs.astype(compute_dtype) / jnp.asarray(255.0, compute_dtype)
     # paired encoder front (models/paired_encoder.py): the stem and layer1
     # run width-paired too, so their convs fill the MXU lanes and the x0/x1
     # skips arrive already paired (phase 0 = block-aligned with even-start
-    # crop windows). Basic-block resnets only; others keep the plain front.
-    # Batch-gated: at small per-device batches XLA lowers the 64-channel
-    # encoder stages batch-minor and starves the MXU lanes (device e2e at
-    # batch 8: 395.6 -> 456.3 t/s paired), while at batch >= 32 the
-    # batch-minor layout is already lane-full and pairing's extra zero
-    # MACs lose slightly (161 -> 172 ms at batch 128) — BASELINE.md
-    # round-3. CERBERUS_PAIRED_ENCODER=1/0 overrides the auto gate.
+    # crop windows). Batch-gated on PER-DEVICE batch — mesh-sharded callers
+    # pass their data-axis size via ``data_parallel`` (see use_paired_front
+    # for the measured rationale; CERBERUS_PAIRED_ENCODER=1/0 overrides).
     import os as _os
 
-    _pe = _os.environ.get("CERBERUS_PAIRED_ENCODER")
-    paired_front = (supports_paired_encoder(cfg.encoder_backbone_name,
-                                            int(imgs.shape[2]))
-                    and (int(imgs.shape[0]) < 32 if _pe is None
-                         else _pe == "1"))
+    paired_front = use_paired_front(
+        cfg.encoder_backbone_name, int(imgs.shape[2]), int(imgs.shape[0]),
+        data_parallel, _os.environ.get("CERBERUS_PAIRED_ENCODER"))
     if paired_front:
         feat_list = resnet_forward_paired(params, x,
                                           cfg.encoder_backbone_name,

@@ -50,16 +50,16 @@ import jax
 import jax.numpy as jnp
 
 from .backbones.resnet import RESNET_SPECS
-from .layers import BN_EPS, conv2d, max_pool_3x3_s2, relu
+from .layers import batch_norm, conv2d, relu
 
 
 def _paired_bn_inference(params, name: str, x):
-    """Inference BN on a width-paired tensor: per-channel vectors tile x2."""
-    p = params[name]
-    inv = (p["scale"] / jnp.sqrt(p["var"] + BN_EPS)).astype(x.dtype)
-    shift = (p["bias"] - p["mean"] * p["scale"] /
-             jnp.sqrt(p["var"] + BN_EPS)).astype(x.dtype)
-    return x * jnp.tile(inv, 2) + jnp.tile(shift, 2)
+    """Inference BN on a width-paired tensor: per-channel vectors tile x2
+    (same composition paired_decode._paired_conv_block uses — tiling the
+    raw stats before folding equals tiling the folded inv/shift)."""
+    from .paired_decode import _pair_vec
+
+    return batch_norm(_pair_vec(params[name]), x, train=False)
 
 
 def pair_stem_kernel(kernel: jnp.ndarray) -> jnp.ndarray:
@@ -95,34 +95,6 @@ def pair_same3_kernel(kernel: jnp.ndarray) -> jnp.ndarray:
             m = (p + t - 1) // 2          # -1, 0, or 1
             q = (p + t - 1) % 2
             out = out.at[:, m + 1, q * ci:(q + 1) * ci,
-                         p * co:(p + 1) * co].set(kernel[:, t])
-    return out
-
-
-def pair_same3_ps_kernel(kernel: jnp.ndarray) -> jnp.ndarray:
-    """(3, 3, Ci, Co) SAME(pad 1) -> (3, 2, 2Ci, 2Co) PHASE-SHIFT kernel.
-
-    The phase-0 SAME repack (pair_same3_kernel) spans 3 input blocks, so
-    half its entries are zeros (2x MACs).  Shifting the output pairing one
-    column left — output block J covers columns (2J+g-1, 2J+g) for input
-    origin g — packs the 3-tap window into exactly 2 input blocks:
-    output parity p', tap k' in {-1,0,1} reads input block J-1 + (1+p'+k')//2,
-    parity (1+p'+k')%2.  6 of 8 slots filled -> 4/3 MACs at full lanes.
-
-    Contract for the caller (see _layer1_ps_block): pad the input one zero
-    block on each side, run VALID; output has Wb+1 blocks at origin g-1
-    with one junk column at each end (J=0 parity 0 and J=Wb parity 1) that
-    must be zeroed before feeding another SAME conv and sliced away when
-    re-normalizing to origin g.
-    """
-    kh, kw, ci, co = kernel.shape
-    assert kh == 3 and kw == 3, kernel.shape
-    out = jnp.zeros((3, 2, 2 * ci, 2 * co), kernel.dtype)
-    for p in range(2):
-        for t in range(3):          # k' = t - 1
-            b = (p + t) // 2        # (1 + p' + k') // 2
-            q = (p + t) % 2
-            out = out.at[:, b, q * ci:(q + 1) * ci,
                          p * co:(p + 1) * co].set(kernel[:, t])
     return out
 
@@ -203,6 +175,26 @@ def supports_paired_encoder(arch: str, width: int) -> bool:
     return spec is not None and spec[0] == "basic" and width % 4 == 0
 
 
+def use_paired_front(arch: str, width: int, batch: int,
+                     data_parallel: int = 1,
+                     env: Optional[str] = None) -> bool:
+    """The paired-encoder auto gate (pure, unit-tested).
+
+    Pair when the PER-DEVICE batch is < 32: there XLA would lower the
+    64-channel encoder stages batch-minor and starve the MXU lanes (batch-8
+    device e2e 395.6 -> 456.3 t/s; dense 1168² batch 16: 532 -> 481 ms);
+    at lane-full large batches the pairing's zero MACs lose slightly
+    (161 -> 172 ms at batch 128) — BASELINE.md round-3.  ``env`` is the
+    CERBERUS_PAIRED_ENCODER override ("1"/"0"); callers pass the value so
+    the decision stays a pure function of its arguments.
+    """
+    if not supports_paired_encoder(arch, width):
+        return False
+    if env is not None:
+        return env == "1"
+    return batch // max(int(data_parallel), 1) < 32
+
+
 def resnet_forward_paired(params: Dict, x: jnp.ndarray, arch: str,
                           prefix: str = "backbone") -> List[jnp.ndarray]:
     """[x0_paired, x1_paired, x2, x3, x4] — inference-mode feature pyramid.
@@ -223,11 +215,13 @@ def resnet_forward_paired(params: Dict, x: jnp.ndarray, arch: str,
     xp = max_pool_paired(xp)
     # layer1: paired basic blocks (stride 1, no downsample for basic
     # resnets) on the phase-0 SAME repack. NEGATIVE RESULT (round 3, do
-    # not redo): the phase-shift variant (pair_same3_ps_kernel — width-2
-    # block kernels at 4/3 MACs with junk-column zeroing and a re-align
-    # slice per conv) measured ~equal at batch 128 (171.1 vs 172.3 ms) and
-    # WORSE at dense batch 4 (168.8 vs 163.5 ms): the odd Wb+1/Wb+2 conv
-    # widths cost Mosaic more than the 2x->4/3 MAC cut saves.
+    # not redo): a phase-shift variant (output pairing offset one column
+    # so the 3-tap window spans 2 blocks -> width-2 kernels at 4/3 MACs,
+    # with junk-edge-column zeroing standing in for the next conv's SAME
+    # pad and a block-slice re-align before each residual add) measured
+    # ~equal at batch 128 (171.1 vs 172.3 ms) and WORSE at dense batch 4
+    # (168.8 vs 163.5 ms): the odd Wb+1/Wb+2 conv widths cost Mosaic more
+    # than the 2x->4/3 MAC cut saves (removed at commit 1d368eb~).
     for b in range(counts[0]):
         name = f"{prefix}.layer1.{b}"
         out = _conv_paired(

@@ -67,7 +67,10 @@ def make_sharded_infer_step(params, cfg: ModelConfig, mesh: Mesh,
     @jax.jit
     def step(p, imgs):
         imgs = jax.lax.with_sharding_constraint(imgs, batch_sharding)
-        out = fused_infer_outputs(p, imgs, cfg, output_shape, compute_dtype)
+        # data_parallel: the paired-encoder auto gate keys on per-DEVICE
+        # batch (imgs here is the global batch)
+        out = fused_infer_outputs(p, imgs, cfg, output_shape, compute_dtype,
+                                  data_parallel=n_dev)
         return jax.lax.with_sharding_constraint(out, out_sharding)
 
     def run(imgs: np.ndarray):

@@ -25,7 +25,23 @@ from cerberus_tpu.models.paired_encoder import (
     pair_stem_kernel,
     resnet_forward_paired,
     supports_paired_encoder,
+    use_paired_front,
 )
+
+
+def test_use_paired_front_gate():
+    # per-DEVICE batch < 32 pairs; global batch alone does not decide
+    assert use_paired_front("resnet34", 448, 8)
+    assert use_paired_front("resnet34", 1168, 16)
+    assert not use_paired_front("resnet34", 448, 128)
+    # mesh: global 64 over 8 devices = 8/device -> pairs
+    assert use_paired_front("resnet34", 448, 64, data_parallel=8)
+    assert not use_paired_front("resnet34", 448, 256, data_parallel=8)
+    # env override beats the auto gate (but never an unsupported config)
+    assert use_paired_front("resnet34", 448, 128, env="1")
+    assert not use_paired_front("resnet34", 448, 8, env="0")
+    assert not use_paired_front("resnet50", 448, 8, env="1")
+    assert not use_paired_front("resnet34", 446, 8, env="1")
 
 
 def _conv(x, k, stride=1, pad=1):
@@ -99,11 +115,14 @@ def test_paired_pyramid_matches_plain(arch):
     assert not supports_paired_encoder(arch, 46)
 
     params = init_resnet_params(jax.random.PRNGKey(0), arch)
-    # non-trivial BN statistics so folding errors can't hide
+    # non-trivial BN statistics so folding errors can't hide (crc32 keys:
+    # hash() is salted per process and would make failures irreproducible)
+    import zlib
+
     for name, leaf in params.items():
         if "bn" in name or "downsample.1" in name:
-            ks = jax.random.split(jax.random.PRNGKey(abs(hash(name)) %
-                                                     (2 ** 31)), 4)
+            ks = jax.random.split(
+                jax.random.PRNGKey(zlib.crc32(name.encode())), 4)
             leaf["mean"] = 0.1 * jax.random.normal(ks[0], leaf["mean"].shape)
             leaf["var"] = 0.5 + jnp.abs(jax.random.normal(ks[1],
                                                           leaf["var"].shape))
