@@ -219,24 +219,33 @@ def get_inst_info_dict(inst_map: np.ndarray, type_map: Optional[np.ndarray],
         }
 
     if type_map is not None:
-        type_map_i = np.asarray(type_map).astype(np.int64)
+        type_map_i = np.asarray(type_map).astype(np.int32)
         n_types = int(type_map_i.max()) + 1 if type_map_i.size else 1
         max_id = int(inst_map.max())
-        # one joint bincount: counts[inst_id, type] for every instance at once
+        # one joint bincount: counts[inst_id, type] for every instance at
+        # once (mask first — ids*n_types on foreground pixels only), then
+        # the majority vote / bg-demotion for ALL instances in one argsort
+        # (per-id python argsorts measured ~40% of this function's steady
+        # time on a 5k-instance canvas)
+        fg = lab64 > 0
         joint = np.bincount(
-            (lab64 * n_types + type_map_i)[lab64 > 0].ravel(),
+            lab64[fg].astype(np.int32) * n_types + type_map_i[fg],
             minlength=(max_id + 1) * n_types,
         ).reshape(max_id + 1, n_types)
+        order = np.argsort(-joint, axis=1, kind="stable")
+        top = order[:, 0]
+        runner = order[:, 1] if n_types > 1 else top
+        n_nonzero = (joint != 0).sum(axis=1)
+        # background majority demotes to the runner-up when any other type
+        # is present (reference quirk)
+        inst_type_all = np.where((top == 0) & (n_nonzero > 1), runner, top)
+        totals = joint.sum(axis=1)
+        probs_all = joint[np.arange(max_id + 1), inst_type_all] / (
+            totals + 1.0e-6)
         for inst_id in list(inst_info_dict.keys()):
-            counts = joint[int(inst_id)]
-            order = np.argsort(-counts, kind="stable")
-            inst_type = int(order[0])
-            if inst_type == 0 and counts[order].nonzero()[0].size > 1:
-                inst_type = int(order[1])
-            total = counts.sum()
-            type_prob = float(counts[inst_type] / (total + 1.0e-6))
-            inst_info_dict[inst_id]["type"] = inst_type
-            inst_info_dict[inst_id]["type_prob"] = type_prob
+            inst_info_dict[inst_id]["type"] = int(inst_type_all[int(inst_id)])
+            inst_info_dict[inst_id]["type_prob"] = float(
+                probs_all[int(inst_id)])
 
     if ds_factor != 1.0:
         for inst_id in list(inst_info_dict.keys()):
