@@ -32,6 +32,11 @@ PY
   if python -c "exit(0 if float('${tf:-0}' or 0) > 20 else 1)" 2>/dev/null; then
     echo "$(date -Is) HEALTHY ($tf TF) - running measurement suite" >> "$LOG"
     echo "=== probe $probe $(date -Is)" >> "$OUT"
+    # driver-format artifact first: it is the cheapest (~2-4 min healthy)
+    # and the single most important capture if the window degrades mid-suite
+    echo "=== bench.py $(date -Is)" >> "$OUT"
+    timeout 900 python bench.py 2>/dev/null | tee -a "$OUT" \
+      > "$REPO/logging/BENCH_healthy.json"
     timeout 3500 python tools/bench_sweep.py >> "$OUT" 2>&1
     echo "=== bench_wsi windowed $(date -Is)" >> "$OUT"
     timeout 3500 python tools/bench_wsi.py --size=49152 2>&1 | tail -3 >> "$OUT"
