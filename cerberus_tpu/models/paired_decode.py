@@ -278,7 +278,9 @@ def paired_head_outputs(params, imgs, cfg: ModelConfig, plan: ValidPlan,
             # serialize the towers: without an ordering edge XLA interleaves
             # all five, and their finest-level working sets stack up —
             # batch-16 dense (1168^2) overflows HBM by ~0.6 GB. The barrier
-            # caps liveness at one tower's working set (values unchanged).
+            # caps liveness at one tower's working set (values unchanged)
+            # and costs no time (A/B at windowed b8: 13.95 vs 13.93 ms —
+            # XLA leaves no scheduling gaps between serialized towers).
             bottom_p, prev_out = jax.lax.optimization_barrier(
                 (bottom_p, prev_out))
         prev = paired_decoder_tower(params, decoder_name, bottom_p, skips_p,
