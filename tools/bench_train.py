@@ -70,7 +70,7 @@ def main() -> None:
             wd = int(arg.split("=")[1])
     _watchdog(wd)
     batch, hw, steps = 12, 448, 6
-    bf16 = remat = False
+    bf16 = remat = device_spans = False
     for arg in sys.argv[1:]:
         if arg.startswith("--batch="):
             batch = int(arg.split("=")[1])
@@ -82,6 +82,8 @@ def main() -> None:
             bf16 = True
         elif arg == "--remat":
             remat = True
+        elif arg == "--device_spans":
+            device_spans = True
     backbone = "resnet34"
     for arg in sys.argv[1:]:
         if arg.startswith("--backbone="):
@@ -135,6 +137,33 @@ def main() -> None:
         best = min(best, time.perf_counter() - t0)
     sps = steps / best
 
+    device_ms = None
+    if device_spans:
+        # tunnel-immune: sum the TPU lane's jit_ spans (CLAUDE.md round-2
+        # methodology — wall clock on the shared tunnel is dispatch-bound)
+        import glob
+        import gzip
+        import tempfile
+
+        prof = tempfile.mkdtemp()
+        with jax.profiler.trace(prof):
+            for _ in range(steps):
+                state, metrics = step_fn(state, batch_data, key)
+            _ = float(metrics["overall_loss"])
+        path = sorted(glob.glob(f"{prof}/**/*.trace.json.gz",
+                                recursive=True))[-1]
+        with gzip.open(path) as handle:
+            trace = json.load(handle)
+        events = trace.get("traceEvents", [])
+        tpu_pids = {e["pid"] for e in events
+                    if e.get("ph") == "M"
+                    and e.get("name") == "process_name"
+                    and "TPU" in e.get("args", {}).get("name", "")}
+        tot = sum(e["dur"] for e in events
+                  if e.get("ph") == "X" and e.get("pid") in tpu_pids
+                  and e.get("name", "").startswith("jit_"))
+        device_ms = tot / steps / 1e3
+
     x = jnp.ones((4096, 4096), jnp.bfloat16)
     mm = jax.jit(lambda a: a @ a)
     np.asarray(mm(x))
@@ -151,6 +180,9 @@ def main() -> None:
         "imgs_per_sec": round(sps * batch, 2),
         "final_loss": float(metrics["overall_loss"]),
         "chip_condition_probe_tflops_bf16": round(probe_tflops, 1),
+        **({"device_ms_per_step": round(device_ms, 2),
+            "device_imgs_per_sec": round(batch / device_ms * 1e3, 1)}
+           if device_ms else {}),
     }))
 
 
