@@ -228,8 +228,13 @@ def get_inst_info_dict(inst_map: np.ndarray, type_map: Optional[np.ndarray],
         # (per-id python argsorts measured ~40% of this function's steady
         # time on a 5k-instance canvas)
         fg = lab64 > 0
+        # int32 halves the bincount input traffic; ids on any real canvas
+        # are far below the wrap point, but guard the narrowing explicitly
+        idx_dtype = (np.int32 if (max_id + 1) * n_types < 2 ** 31
+                     else np.int64)
         joint = np.bincount(
-            lab64[fg].astype(np.int32) * n_types + type_map_i[fg],
+            lab64[fg].astype(idx_dtype) * idx_dtype(n_types)
+            + type_map_i[fg].astype(idx_dtype),
             minlength=(max_id + 1) * n_types,
         ).reshape(max_id + 1, n_types)
         order = np.argsort(-joint, axis=1, kind="stable")

@@ -19,8 +19,6 @@ Usage:
 """
 from __future__ import annotations
 
-import glob
-import gzip
 import json
 import os
 import re
@@ -78,31 +76,25 @@ def main() -> None:
             r = fwd(params, imgs)
         _ = np.asarray(jax.tree_util.tree_leaves(r)[0][:1])
 
-    path = sorted(glob.glob(f"{prof}/**/*.trace.json.gz", recursive=True))[-1]
-    with gzip.open(path) as handle:
-        trace = json.load(handle)
-    events = trace.get("traceEvents", [])
-    tpu_pids = {e["pid"] for e in events
-                if e.get("ph") == "M" and e.get("name") == "process_name"
-                and "TPU" in e.get("args", {}).get("name", "")}
-    jit_us, op_us = 0.0, {}
-    for e in events:
-        if e.get("ph") != "X" or e.get("pid") not in tpu_pids:
-            continue
-        if e.get("name", "").startswith("jit_"):
-            jit_us += e["dur"]
-        else:
-            op_us[e["name"]] = op_us.get(e["name"], 0.0) + e["dur"]
+    # reuse the one canonical TPU-lane trace parser (same methodology as
+    # bench.py / bench_wsi / bench_postproc_spans)
+    from bench_fwd_spans import _tpu_op_spans
+
+    jit_ms, op_ms = _tpu_op_spans(prof, steps)
     print(json.dumps({
         "batch": batch, "in": in_sz, "out": out_sz,
         "paired_encoder": os.environ.get("CERBERUS_PAIRED_ENCODER", "auto"),
-        "fwd_ms_per_step": round(jit_us / steps / 1e3, 2),
+        "fwd_ms_per_step": round(sum(jit_ms.values()), 2),
     }))
 
     hlo = fwd.lower(params, imgs).compile().as_text()
 
     def resolve(op: str) -> str:
-        m = re.search(re.escape(op) + r" = [^\n]+", hlo)
+        # trace names may carry a namespace path; HLO instruction names
+        # are the last component. Anchor at line start so a name that is
+        # a suffix of another op's name cannot match the wrong line.
+        base = op.split("/")[-1]
+        m = re.search(rf"(?m)^\s*%?{re.escape(base)} = [^\n]+", hlo)
         if not m:
             return "?"
         line = m.group(0)
@@ -112,8 +104,8 @@ def main() -> None:
             shp += "  @" + src.group(1).split("/")[-1] + ":" + src.group(2)
         return shp
 
-    for name, us in sorted(op_us.items(), key=lambda kv: -kv[1])[:top]:
-        print(f"{us / steps / 1e3:8.2f} ms  {name[:34]:34s} {resolve(name)}")
+    for name, ms in list(op_ms.items())[:top]:
+        print(f"{ms:8.2f} ms  {name[:34]:34s} {resolve(name)}")
 
 
 if __name__ == "__main__":

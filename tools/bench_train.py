@@ -10,7 +10,10 @@ launcher or benchmark (SURVEY.md §1); its train_step is torch GPU-only
 Usage:
   python tools/bench_train.py [--batch=N] [--size=N] [--bf16] [--remat]
                               [--steps=N] [--watchdog=SECONDS]
-                              [--backbone=NAME]
+                              [--backbone=NAME] [--device_spans]
+
+--device_spans additionally traces N steps and reports tunnel-immune
+ON-DEVICE ms/step + imgs/s from the TPU lane's jit_ spans.
 
 Prints ONE JSON line. The tunneled dev chip swings 5-25x with external
 contention — a matmul condition probe is reported alongside (CLAUDE.md).
@@ -140,29 +143,38 @@ def main() -> None:
     device_ms = None
     if device_spans:
         # tunnel-immune: sum the TPU lane's jit_ spans (CLAUDE.md round-2
-        # methodology — wall clock on the shared tunnel is dispatch-bound)
-        import glob
-        import gzip
-        import tempfile
+        # methodology — wall clock on the shared tunnel is dispatch-bound).
+        # Fault-isolated: the wall result above is already in hand, so a
+        # wedge/empty-trace here must not discard it (never-abort rule) —
+        # disarm the one-shot watchdog first and degrade to spans=None.
+        signal.alarm(0)
+        try:
+            import glob
+            import gzip
+            import tempfile
 
-        prof = tempfile.mkdtemp()
-        with jax.profiler.trace(prof):
-            for _ in range(steps):
-                state, metrics = step_fn(state, batch_data, key)
-            _ = float(metrics["overall_loss"])
-        path = sorted(glob.glob(f"{prof}/**/*.trace.json.gz",
-                                recursive=True))[-1]
-        with gzip.open(path) as handle:
-            trace = json.load(handle)
-        events = trace.get("traceEvents", [])
-        tpu_pids = {e["pid"] for e in events
-                    if e.get("ph") == "M"
-                    and e.get("name") == "process_name"
-                    and "TPU" in e.get("args", {}).get("name", "")}
-        tot = sum(e["dur"] for e in events
-                  if e.get("ph") == "X" and e.get("pid") in tpu_pids
-                  and e.get("name", "").startswith("jit_"))
-        device_ms = tot / steps / 1e3
+            prof = tempfile.mkdtemp()
+            with jax.profiler.trace(prof):
+                for _ in range(steps):
+                    state, metrics = step_fn(state, batch_data, key)
+                _ = float(metrics["overall_loss"])
+            paths = sorted(glob.glob(f"{prof}/**/*.trace.json.gz",
+                                     recursive=True))
+            if paths:
+                with gzip.open(paths[-1]) as handle:
+                    trace = json.load(handle)
+                events = trace.get("traceEvents", [])
+                tpu_pids = {e["pid"] for e in events
+                            if e.get("ph") == "M"
+                            and e.get("name") == "process_name"
+                            and "TPU" in e.get("args", {}).get("name", "")}
+                tot = sum(e["dur"] for e in events
+                          if e.get("ph") == "X" and e.get("pid") in tpu_pids
+                          and e.get("name", "").startswith("jit_"))
+                if tot > 0:
+                    device_ms = tot / steps / 1e3
+        except Exception as exc:                      # noqa: BLE001
+            print(f"device_spans failed: {exc!r}", file=sys.stderr)
 
     x = jnp.ones((4096, 4096), jnp.bfloat16)
     mm = jax.jit(lambda a: a @ a)

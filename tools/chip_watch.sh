@@ -35,7 +35,7 @@ PY
     # driver-format artifact first: it is the cheapest (~2-4 min healthy)
     # and the single most important capture if the window degrades mid-suite
     echo "=== bench.py $(date -Is)" >> "$OUT"
-    timeout 900 python bench.py 2>/dev/null | tee -a "$OUT" \
+    timeout 900 python bench.py 2>> "$LOG" | tee -a "$OUT" \
       > "$REPO/logging/BENCH_healthy.json"
     timeout 3500 python tools/bench_sweep.py >> "$OUT" 2>&1
     echo "=== bench_wsi windowed $(date -Is)" >> "$OUT"
