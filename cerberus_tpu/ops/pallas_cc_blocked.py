@@ -148,9 +148,18 @@ def cc_pallas_blocked(mask: jnp.ndarray, interpret: bool = False
     lab0 = jnp.where(mask_i != 0, idx, big)
 
     def pair(lab):
-        lab, ch_down = _one_pass(mask_i, lab, 0, n_strips, wp, interpret)
+        lab, _ch_down = _one_pass(mask_i, lab, 0, n_strips, wp, interpret)
         lab, ch_up = _one_pass(mask_i, lab, 1, n_strips, wp, interpret)
-        return lab, ch_down | ch_up
+        # convergence needs only the UP half to be quiet: the down pass
+        # leaves every strip at a local fixpoint given its TOP neighbor's
+        # final state (strips processed top->bottom, carries final); if the
+        # up pass then changes nothing, each strip is also at a fixpoint
+        # given its BOTTOM neighbor's current state, and no state moved
+        # since the down pass — a global fixpoint. The first pair's
+        # ch_down is always True (seeding), so gating on it costs one
+        # full extra verify pair on every strip-local canvas (the typical
+        # blob case: 4 passes where 2 suffice — measured in BASELINE.md).
+        return lab, ch_up
 
     def cond(state):
         return state[1]
