@@ -90,3 +90,53 @@ def test_gland_family_on_device_matches_cpu_oracle():
         raw, idx, "Gland")
     assert _label_isomorphic(cpu_inst, tpu_inst)
     np.testing.assert_array_equal(np.asarray(cpu_type), np.asarray(tpu_type))
+
+
+def test_paired_forward_real_device_matches_cpu():
+    """The TPU-default forward (width-paired towers + encoder at batch 8,
+    bf16) against the CPU unpaired f32 reference on the same weights —
+    catches device-specific miscompiles of the paired path that the
+    CPU-only paired-vs-unpaired tests cannot see. Tolerance is the bf16
+    class PARITY.md documents for the pairing (plus bf16-vs-f32 itself)."""
+    _require_tpu()
+    import jax
+    import jax.numpy as jnp
+
+    from cerberus_tpu.config import DEFAULT_DECODER_KWARGS, ModelConfig
+    from cerberus_tpu.infer.steps import fused_infer_outputs
+    from cerberus_tpu.models.net_desc import init_net_params
+
+    cfg = ModelConfig.from_kwargs({
+        "encoder_backbone_name": "resnet34",
+        "decoder_kwargs": DEFAULT_DECODER_KWARGS,
+        "considered_tasks": list(DEFAULT_DECODER_KWARGS.keys()),
+    })
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        params = init_net_params(jax.random.PRNGKey(0), cfg)
+    imgs = np.random.default_rng(0).integers(
+        0, 255, (8, 448, 448, 3)).astype(np.uint8)
+
+    tpu_dev = jax.devices()[0]
+    out_tpu = np.asarray(jax.jit(
+        lambda p, im: fused_infer_outputs(p, im, cfg, 144),
+        device=tpu_dev)(jax.device_put(params, tpu_dev),
+                        jax.device_put(imgs, tpu_dev)))
+
+    os.environ["CERBERUS_PAIRED"] = "0"
+    try:
+        with jax.default_device(cpu):
+            out_cpu = np.asarray(fused_infer_outputs(
+                jax.device_put(params, cpu),
+                jax.device_put(imgs, cpu), cfg, 144,
+                compute_dtype=jnp.float32))
+    finally:
+        os.environ.pop("CERBERUS_PAIRED", None)
+
+    assert out_tpu.shape == out_cpu.shape
+    # probability/argmax channels live in [0, 9]; bf16 + pairing
+    # reassociation bounds absolute error well under 0.1 on probabilities.
+    # argmax id channels may flip at near-ties — allow a small fraction.
+    close = np.abs(out_tpu - out_cpu) < 0.1
+    frac_bad = 1.0 - close.mean()
+    assert frac_bad < 0.01, frac_bad
