@@ -180,11 +180,13 @@ def use_paired_front(arch: str, width: int, batch: int,
                      env: Optional[str] = None) -> bool:
     """The paired-encoder auto gate (pure, unit-tested).
 
-    Pair when the PER-DEVICE batch is < 32: there XLA would lower the
-    64-channel encoder stages batch-minor and starve the MXU lanes (batch-8
-    device e2e 395.6 -> 456.3 t/s; dense 1168² batch 16: 532 -> 481 ms);
-    at lane-full large batches the pairing's zero MACs lose slightly
-    (161 -> 172 ms at batch 128) — BASELINE.md round-3.  ``env`` is the
+    Pair when the PER-DEVICE batch is < 48: below that XLA lowers the
+    64-channel encoder stages batch-minor and starves the MXU lanes
+    (batch-8 device e2e 395.6 -> 456.3 t/s; batch-32 forward 57.9 -> 55.3
+    ms; dense 1168² batch 16: 532 -> 481 ms); from ~64 up the batch-minor
+    layout is lane-full and the pairing's zero MACs lose slightly (wash at
+    64: 115.6 vs 116.9 ms; 161 -> 172 ms at batch 128) — measured
+    crossover between 32 and 64, BASELINE.md round-3.  ``env`` is the
     CERBERUS_PAIRED_ENCODER override ("1"/"0"); callers pass the value so
     the decision stays a pure function of its arguments.
     """
@@ -192,7 +194,7 @@ def use_paired_front(arch: str, width: int, batch: int,
         return False
     if env is not None:
         return env == "1"
-    return batch // max(int(data_parallel), 1) < 32
+    return batch // max(int(data_parallel), 1) < 48
 
 
 def resnet_forward_paired(params: Dict, x: jnp.ndarray, arch: str,

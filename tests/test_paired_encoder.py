@@ -30,13 +30,15 @@ from cerberus_tpu.models.paired_encoder import (
 
 
 def test_use_paired_front_gate():
-    # per-DEVICE batch < 32 pairs; global batch alone does not decide
+    # per-DEVICE batch < 48 pairs; global batch alone does not decide
     assert use_paired_front("resnet34", 448, 8)
+    assert use_paired_front("resnet34", 448, 32)
     assert use_paired_front("resnet34", 1168, 16)
+    assert not use_paired_front("resnet34", 448, 64)
     assert not use_paired_front("resnet34", 448, 128)
     # mesh: global 64 over 8 devices = 8/device -> pairs
     assert use_paired_front("resnet34", 448, 64, data_parallel=8)
-    assert not use_paired_front("resnet34", 448, 256, data_parallel=8)
+    assert not use_paired_front("resnet34", 448, 512, data_parallel=8)
     # env override beats the auto gate (but never an unsupported config)
     assert use_paired_front("resnet34", 448, 128, env="1")
     assert not use_paired_front("resnet34", 448, 8, env="0")
