@@ -43,7 +43,12 @@ PY
     echo "=== bench_wsi dense $(date -Is)" >> "$OUT"
     timeout 3500 python tools/bench_wsi.py --size=49152 --dense 2>&1 | tail -3 >> "$OUT"
     echo "$(date -Is) suite done" >> "$LOG"
-    break
+    # only retire if the priority artifact actually landed — a window that
+    # degrades mid-suite should not end the watch permanently
+    if [ -s "$REPO/logging/BENCH_healthy.json" ]; then
+      break
+    fi
+    echo "$(date -Is) BENCH_healthy.json empty - resuming watch" >> "$LOG"
   fi
   sleep 540
 done
