@@ -290,7 +290,7 @@ def net_forward(
     bn_sink: Optional[dict] = None,
     dropout_rng=None,
     compute_dtype=jnp.float32,
-    remat: bool = False,
+    remat=False,
     pclass_cells: int = 1,
 ) -> Dict[str, jnp.ndarray]:
     """Run all considered heads. ``imgs``: NHWC, any numeric dtype, 0-255.
@@ -303,15 +303,31 @@ def net_forward(
     _init_fn, backbone_fwd, _filters = get_backbone(cfg.encoder_backbone_name)
     dsf = _is_dsf(cfg)
 
-    def _maybe_remat(fn):
+    def _maybe_remat(fn, stage):
         """Per-stage rematerialization: BN batch stats are produced inside
         the checkpointed region and RETURNED (a local sink becomes an output
         pytree), so remat never leaks tracers through a side channel. Peak
         training memory drops from the sum of stage activations to roughly
-        the largest single stage."""
-        if not remat:
-            return fn
-        return jax.checkpoint(fn)
+        the largest single stage.
+
+        ``remat`` may be a bool (True = checkpoint every stage) or a
+        granularity string: "backbone" / "towers" checkpoint only that
+        stage class — the backward pass then recomputes only that side
+        while the other side's activations stay stored.  Measured at
+        448² resnet34 on 16 GB HBM, the selective modes do NOT fit the
+        practical configs (b12 f32 / b16 bf16 towers-only both miss by
+        ~1 GB: the stored backbone dominates once tower residuals
+        shrink) — remat=True is what buys the reference-default batch
+        (BASELINE.md "Training-step"); the granularities are kept for
+        smaller geometries / other backbones.
+        """
+        if remat not in (False, True, "backbone", "towers"):
+            raise ValueError(f"remat must be bool or 'backbone'/'towers', "
+                             f"got {remat!r}")
+        if remat is True or (remat == "backbone" and stage == "backbone") or (
+                remat == "towers" and stage == "tower"):
+            return jax.checkpoint(fn)
+        return fn
 
     x = imgs.astype(compute_dtype) / jnp.asarray(255.0, compute_dtype)
 
@@ -326,7 +342,7 @@ def net_forward(
                              sink if trunk_train else None)
         return feats, sink
 
-    feat_list, stage_stats = _maybe_remat(run_backbone)(params, x)
+    feat_list, stage_stats = _maybe_remat(run_backbone, "backbone")(params, x)
     if trunk_train:
         bn_sink.update(stage_stats)
     bottom_feats = feat_list[-1]
@@ -374,39 +390,44 @@ def net_forward(
 
             nr = _nr_orients(cfg)
 
-            def run_gtower(p, feats, _name=decoder_name, _train=dec_train):
-                sink: Dict = {}
-                out = _gconv_decoder_tower(p, _name, feats, nr,
-                                           sink if _train else None)
-                return out, sink
-
-            prev, tower_stats = _maybe_remat(run_gtower)(params, feat_list)
-            if dec_train:
-                bn_sink.update(tower_stats)
-            prev = group_pool(prev, nr, "max")
-        else:
-            def run_tower(p, feats, _name=decoder_name, _train=dec_train):
-                sink: Dict = {}
-                out = _decoder_tower(p, _name, feats,
-                                     sink if _train else None)
-                return out, sink
-
-            prev, tower_stats = _maybe_remat(run_tower)(params, feat_list)
-            if dec_train:
-                bn_sink.update(tower_stats)
-        for head_name, _out_ch in heads:
+        # The whole branch — tower AND its output heads — is one remat
+        # region: with the heads outside, each branch stores a full-res
+        # 64-ch residual (f32[b,448,448,64] padded 2.7x on TPU = 1.5 GB
+        # at batch 12; five branches = the HBM peak), while inside the
+        # region only the 3-7-ch head logits persist and the backward
+        # recomputes two cheap convs per head.
+        def run_branch(p, feats, _name=decoder_name, _train=dec_train,
+                       _heads=tuple(h for h, _ in heads)):
+            sink: Dict = {}
+            s = sink if _train else None
             if dsf:
-                base = f"output_head.{decoder_name}.{head_name}"
-                out = prev
-                for li in range(2):
-                    out = relu(apply_bn(params, f"{base}.block.{li}.bn", out,
-                                        dec_sink))
-                    out = conv2d(params[f"{base}.block.{li}.conv"], out,
-                                 padding=0)
+                prev = _gconv_decoder_tower(p, _name, feats, nr, s)
+                prev = group_pool(prev, nr, "max")
             else:
-                base = f"output_head.{decoder_name}.{head_name}.x"
-                out = _conv_block(params, f"{base}.0", prev, 1, dec_sink)
-                out = conv2d(params[f"{base}.1.conv"], out, padding=0)
+                prev = _decoder_tower(p, _name, feats, s)
+            outs = {}
+            for head_name in _heads:
+                if dsf:
+                    base = f"output_head.{_name}.{head_name}"
+                    out = prev
+                    for li in range(2):
+                        out = relu(apply_bn(p, f"{base}.block.{li}.bn",
+                                            out, s))
+                        out = conv2d(p[f"{base}.block.{li}.conv"], out,
+                                     padding=0)
+                else:
+                    base = f"output_head.{_name}.{head_name}.x"
+                    out = _conv_block(p, f"{base}.0", prev, 1, s)
+                    out = conv2d(p[f"{base}.1.conv"], out, padding=0)
+                outs[head_name] = out
+            return outs, sink
+
+        outs, branch_stats = _maybe_remat(run_branch, "tower")(params,
+                                                               feat_list)
+        if dec_train:
+            bn_sink.update(branch_stats)
+        for head_name, _out_ch in heads:
+            out = outs[head_name]
             if training and not branch_trainable(decoder_name):
                 out = jax.lax.stop_gradient(out)
             output_dict[decoder_name.split("#")[0] + "-" + head_name] = out

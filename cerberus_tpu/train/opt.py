@@ -67,13 +67,15 @@ def get_config(model_kwargs: Dict, loss_kwargs: Dict,
 def build_trainer(config: Dict, train_loaders: Dict, valid_loaders: Dict,
                   log_dir: Optional[str] = None, seed: int = 0,
                   pretrained_params=None, best_metric: Optional[str] = None,
-                  mesh=None, remat: bool = False, compute_dtype=None):
+                  mesh=None, remat=False, compute_dtype=None):
     """Build chained train/infer engines for phase 0; returns (train_engine,
     infer_engine, net_holder).
 
     ``mesh``: a 1-D device mesh for data-parallel training (params/opt state
     replicated, batch sharded); ``remat`` enables per-stage activation
-    rematerialization for large-batch training; ``compute_dtype``
+    rematerialization for large-batch training (True = every stage, or
+    "backbone"/"towers" to checkpoint only that stage class — see
+    net_forward._maybe_remat); ``compute_dtype``
     (e.g. jnp.bfloat16) runs forward/backward activations in that dtype
     while params, optimizer moments, BN statistics and loss reductions stay
     float32 — the standard TPU mixed-precision recipe (the float32 torch
@@ -236,7 +238,7 @@ def build_trainer(config: Dict, train_loaders: Dict, valid_loaders: Dict,
 def run_training(config: Dict, train_loaders: Dict, valid_loaders: Dict,
                  log_dir: Optional[str] = None, seed: int = 0,
                  pretrained_params=None, best_metric=None, mesh=None,
-                 remat: bool = False, compute_dtype=None):
+                 remat=False, compute_dtype=None):
     """Run every phase of ``config["phase_list"]`` sequentially.
 
     The reference's schema runs phases "sequentially from index 0 to N"

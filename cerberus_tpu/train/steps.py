@@ -142,7 +142,7 @@ def _loss_weight_tables(loss_kwargs: Mapping, cfg: ModelConfig):
 
 def multitask_loss(params, batch, cfg: ModelConfig, loss_tables,
                    bn_sink: Optional[dict], dropout_rng,
-                   compute_dtype=jnp.float32, remat: bool = False):
+                   compute_dtype=jnp.float32, remat=False):
     """Returns (total_loss, per-head scalar dict)."""
     heads = head_order(cfg)
     n_ch = head_output_channels(cfg)
@@ -240,7 +240,7 @@ def _apply_bn_updates(params, bn_sink):
 
 def make_train_step(cfg: ModelConfig, loss_kwargs=None, optimizer_kwargs=None,
                     compute_dtype=jnp.float32, donate: bool = True,
-                    return_grads: bool = False, remat: bool = False):
+                    return_grads: bool = False, remat=False):
     """Returns (train_step(state, batch, rng) -> (state, metrics[, grads]),
     tx).
 

@@ -5,7 +5,7 @@ Usage:
                [--nr_epochs=<n>] [--batch_size=<n>] [--seed=<n>] \
                [--pretrained=<path>] [--pretrained_fold=<n>] \
                [--pretrained_tag=<str>] [--per_n_steps=<n>] \
-               [--resume=<path>] [--bf16]
+               [--resume=<path>] [--bf16] [--remat=<stage>]
   run_train.py (-h | --help)
 
 Options:
@@ -28,6 +28,11 @@ Options:
   --bf16               Mixed precision: bfloat16 activations for forward/backward;
                        params, optimizer moments, BN stats and loss reductions
                        stay float32 (TPU-native; no reference analog).
+  --remat=<stage>      Activation rematerialization for large-batch training:
+                       "all" checkpoints every stage, "backbone"/"towers" only
+                       that stage class. "all" is what fits the reference-
+                       default 448² batch 12 fp32 on a 16 GB chip; measured
+                       matrix in BASELINE.md "Training-step". [default: off]
 
 The reference ships a complete training engine with NO launcher
 (SURVEY.md §1 — `run_utils/engine.py` has no caller in the repo); this CLI
@@ -49,6 +54,14 @@ configure_from_env()
 
 if __name__ == "__main__":
     args = docopt(__doc__)
+
+    remat_arg = (args["--remat"] or "off").lower()
+    if remat_arg not in ("off", "0", "false", "all", "true", "1",
+                         "backbone", "towers"):
+        raise SystemExit(f"--remat must be off/all/backbone/towers, "
+                         f"got {remat_arg!r}")
+    remat = (True if remat_arg in ("all", "true", "1")
+             else remat_arg if remat_arg in ("backbone", "towers") else False)
 
     paramset = ParamSet.from_yaml(args["--settings"])
     log_dir = args["--log_dir"]
@@ -121,4 +134,4 @@ if __name__ == "__main__":
 
     run_training(config, train_loaders, valid_loaders, log_dir=log_dir,
                  seed=int(args["--seed"]), pretrained_params=pretrained_params,
-                 compute_dtype=compute_dtype)
+                 compute_dtype=compute_dtype, remat=remat)

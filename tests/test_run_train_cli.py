@@ -55,7 +55,17 @@ def test_run_train_cli_one_epoch(tmp_path):
     result = subprocess.run(
         [sys.executable, os.path.join(repo, "run_train.py"),
          f"--settings={settings_path}", f"--log_dir={log_dir}",
-         "--nr_epochs=1", "--batch_size=2", "--per_n_steps=1"],
+         "--nr_epochs=1", "--batch_size=2", "--per_n_steps=1",
+         "--remat=towers"],
         capture_output=True, text=True, timeout=480, env=env, cwd=repo)
     assert result.returncode == 0, result.stderr[-3000:]
     assert os.path.exists(log_dir / "stats.yml"), result.stderr[-2000:]
+
+    # bad --remat values must fail fast, before any compilation
+    result = subprocess.run(
+        [sys.executable, os.path.join(repo, "run_train.py"),
+         f"--settings={settings_path}", f"--log_dir={log_dir}",
+         "--nr_epochs=1", "--batch_size=2", "--remat=bogus"],
+        capture_output=True, text=True, timeout=240, env=env, cwd=repo)
+    assert result.returncode != 0
+    assert "--remat" in result.stderr

@@ -147,7 +147,10 @@ def test_remat_train_step_matches_plain():
     key = jax.random.PRNGKey(2)
 
     outs = {}
-    for remat in (False, True):
+    # granularity strings checkpoint only that stage class (run_train.py
+    # --remat=backbone/towers); each must stay in the same reassociation
+    # band as full remat
+    for remat in (False, True, "backbone", "towers"):
         step_fn, tx = make_train_step(CFG, LOSS_KWARGS, {"lr": 1e-3},
                                       donate=False, remat=remat)
         state = TrainState(params=params, opt_state=tx.init(params),
@@ -155,20 +158,23 @@ def test_remat_train_step_matches_plain():
         new_state, metrics = step_fn(state, batch, key)
         outs[remat] = (new_state, metrics)
 
-    m0, m1 = outs[False][1], outs[True][1]
-    for k in m0:
-        np.testing.assert_allclose(np.asarray(m0[k]), np.asarray(m1[k]),
-                                   rtol=1e-5, err_msg=k)
-    # recompute reassociates float ops; near-zero grads can flip Adam's
-    # +-lr normalized update, so allow a 2*lr band on a tiny fraction
+    m0 = outs[False][1]
     p0 = np.asarray(outs[False][0].params["backbone.conv1"]["kernel"])
-    p1 = np.asarray(outs[True][0].params["backbone.conv1"]["kernel"])
-    np.testing.assert_allclose(p0, p1, atol=2.5e-3)
-    assert (np.abs(p0 - p1) > 1e-6).mean() < 0.005
-    # BN stats updated identically through the remat boundary
     s0 = outs[False][0].params["backbone.bn1"]["mean"]
-    s1 = outs[True][0].params["backbone.bn1"]["mean"]
-    np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), atol=1e-6)
+    for mode in (True, "backbone", "towers"):
+        m1 = outs[mode][1]
+        for k in m0:
+            np.testing.assert_allclose(np.asarray(m0[k]), np.asarray(m1[k]),
+                                       rtol=1e-5, err_msg=f"{mode}:{k}")
+        # recompute reassociates float ops; near-zero grads can flip Adam's
+        # +-lr normalized update, so allow a 2*lr band on a tiny fraction
+        p1 = np.asarray(outs[mode][0].params["backbone.conv1"]["kernel"])
+        np.testing.assert_allclose(p0, p1, atol=2.5e-3, err_msg=str(mode))
+        assert (np.abs(p0 - p1) > 1e-6).mean() < 0.005, mode
+        # BN stats updated identically through the remat boundary
+        s1 = outs[mode][0].params["backbone.bn1"]["mean"]
+        np.testing.assert_allclose(np.asarray(s0), np.asarray(s1),
+                                   atol=1e-6, err_msg=str(mode))
 
 
 def test_bf16_train_step_mixed_precision():

@@ -8,7 +8,8 @@ launcher or benchmark (SURVEY.md §1); its train_step is torch GPU-only
 (models/run_desc.py:92-165).
 
 Usage:
-  python tools/bench_train.py [--batch=N] [--size=N] [--bf16] [--remat]
+  python tools/bench_train.py [--batch=N] [--size=N] [--bf16]
+                              [--remat[=all|backbone|towers]]
                               [--steps=N] [--watchdog=SECONDS]
                               [--backbone=NAME] [--device_spans]
 
@@ -85,6 +86,9 @@ def main() -> None:
             bf16 = True
         elif arg == "--remat":
             remat = True
+        elif arg.startswith("--remat="):
+            val = arg.split("=")[1]  # all | backbone | towers
+            remat = True if val in ("all", "true", "1") else val
         elif arg == "--device_spans":
             device_spans = True
     backbone = "resnet34"
@@ -186,7 +190,7 @@ def main() -> None:
     print(json.dumps({
         "metric": f"train steps/sec ({backbone}, {hw}^2, batch {batch}, "
                   f"{'bf16' if bf16 else 'fp32'}"
-                  f"{', remat' if remat else ''})",
+                  f"{f', remat={remat}' if remat else ''})",
         "value": round(sps, 3),
         "unit": "steps/s",
         "imgs_per_sec": round(sps * batch, 2),
