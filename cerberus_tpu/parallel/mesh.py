@@ -88,21 +88,32 @@ def make_sharded_infer_step(params, cfg: ModelConfig, mesh: Mesh,
 
 def make_sharded_train_step(cfg: ModelConfig, mesh: Mesh, loss_kwargs=None,
                             optimizer_kwargs=None,
-                            compute_dtype=jnp.float32):
+                            compute_dtype=jnp.float32, grad_accum: int = 1,
+                            remat=False):
     """Data-parallel training step over the mesh.
 
     Parameters/optimizer state replicated; batch sharded on the leading
     axis. The jitted step computes globally-consistent gradients (the loss
     reductions span the full global batch), so every device applies the same
     update — standard DP without any explicit collective code.
+
+    ``grad_accum=K`` composes with DP: the global batch reshapes to
+    (K, N/K, ...) and each microbatch stays sharded on the data axis
+    (constrained to P(None, 'data')), so every chip runs K sequential
+    microbatch backwards and the gradient average spans mesh x microbatch.
     """
     from ..train.steps import TrainState, make_train_step
 
+    micro_sharding = (NamedSharding(mesh, P(None, DATA_AXIS))
+                      if grad_accum > 1 else None)
     # donate as on the single-device path: in/out states share shardings,
     # and callbacks consume state N before step N+1 invalidates it, so the
     # params+moments buffers update in place instead of double-buffering
     train_step, tx = make_train_step(cfg, loss_kwargs, optimizer_kwargs,
-                                     compute_dtype, donate=True)
+                                     compute_dtype, donate=True,
+                                     grad_accum=grad_accum,
+                                     micro_sharding=micro_sharding,
+                                     remat=remat)
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(DATA_AXIS))
 

@@ -67,7 +67,8 @@ def get_config(model_kwargs: Dict, loss_kwargs: Dict,
 def build_trainer(config: Dict, train_loaders: Dict, valid_loaders: Dict,
                   log_dir: Optional[str] = None, seed: int = 0,
                   pretrained_params=None, best_metric: Optional[str] = None,
-                  mesh=None, remat=False, compute_dtype=None):
+                  mesh=None, remat=False, compute_dtype=None,
+                  grad_accum: int = 1):
     """Build chained train/infer engines for phase 0; returns (train_engine,
     infer_engine, net_holder).
 
@@ -75,7 +76,9 @@ def build_trainer(config: Dict, train_loaders: Dict, valid_loaders: Dict,
     replicated, batch sharded); ``remat`` enables per-stage activation
     rematerialization for large-batch training (True = every stage, or
     "backbone"/"towers" to checkpoint only that stage class — see
-    net_forward._maybe_remat); ``compute_dtype``
+    net_forward._maybe_remat); ``grad_accum=K`` runs K sequential
+    microbatches per optimizer step (train/steps.make_train_step) — the path
+    to the reference batch-32 config on a 16 GB chip; ``compute_dtype``
     (e.g. jnp.bfloat16) runs forward/backward activations in that dtype
     while params, optimizer moments, BN statistics and loss reductions stay
     float32 — the standard TPU mixed-precision recipe (the float32 torch
@@ -111,13 +114,14 @@ def build_trainer(config: Dict, train_loaders: Dict, valid_loaders: Dict,
 
         train_step, init_state, tx = make_sharded_train_step(
             cfg, mesh, loss_kwargs, opt_kwargs,
-            compute_dtype=dtype)
+            compute_dtype=dtype, grad_accum=grad_accum, remat=remat)
         state = init_state(params)
     else:
         train_step, tx = make_train_step(cfg, loss_kwargs,
                                          opt_kwargs,
                                          compute_dtype=dtype,
-                                         remat=remat)
+                                         remat=remat,
+                                         grad_accum=grad_accum)
         state = TrainState(params=params, opt_state=tx.init(params),
                            step=np.int32(0))
     resume_from = net_cfg.get("resume_from")
@@ -238,7 +242,7 @@ def build_trainer(config: Dict, train_loaders: Dict, valid_loaders: Dict,
 def run_training(config: Dict, train_loaders: Dict, valid_loaders: Dict,
                  log_dir: Optional[str] = None, seed: int = 0,
                  pretrained_params=None, best_metric=None, mesh=None,
-                 remat=False, compute_dtype=None):
+                 remat=False, compute_dtype=None, grad_accum: int = 1):
     """Run every phase of ``config["phase_list"]`` sequentially.
 
     The reference's schema runs phases "sequentially from index 0 to N"
@@ -268,7 +272,7 @@ def run_training(config: Dict, train_loaders: Dict, valid_loaders: Dict,
         train_engine, _infer_engine, net = build_trainer(
             dict(config, phase_list=[phase]), train_loaders, valid_loaders,
             phase_dir, seed, pre, best_metric=best_metric, mesh=mesh,
-            remat=remat, compute_dtype=compute_dtype)
+            remat=remat, compute_dtype=compute_dtype, grad_accum=grad_accum)
         try:
             train_engine.run(nr_epoch=phase["nr_epochs"])
         finally:

@@ -238,9 +238,32 @@ def _apply_bn_updates(params, bn_sink):
     return params
 
 
+def _apply_bn_updates_stacked(params, bn_sink, k: int):
+    """Fold K per-microbatch batch stats (stacked on axis 0) into the running
+    stats EXACTLY as K sequential momentum updates would — the closed form of
+    ``run = (1-m)*run + m*stat_i`` applied i = 0..K-1 in order:
+
+        new = (1-m)^K * old + sum_i  m * (1-m)^(K-1-i) * stat_i
+    """
+    keep = (1.0 - BN_MOMENTUM) ** k
+    coef = BN_MOMENTUM * (1.0 - BN_MOMENTUM) ** jnp.arange(
+        k - 1, -1, -1, dtype=jnp.float32)
+    params = dict(params)
+    for name, (means, vars_) in bn_sink.items():
+        leaf = dict(params[name])
+        cshape = (k,) + (1,) * (means.ndim - 1)
+        leaf["mean"] = keep * leaf["mean"] + jnp.sum(
+            coef.reshape(cshape) * means, axis=0)
+        leaf["var"] = keep * leaf["var"] + jnp.sum(
+            coef.reshape(cshape) * vars_, axis=0)
+        params[name] = leaf
+    return params
+
+
 def make_train_step(cfg: ModelConfig, loss_kwargs=None, optimizer_kwargs=None,
                     compute_dtype=jnp.float32, donate: bool = True,
-                    return_grads: bool = False, remat=False):
+                    return_grads: bool = False, remat=False,
+                    grad_accum: int = 1, micro_sharding=None):
     """Returns (train_step(state, batch, rng) -> (state, metrics[, grads]),
     tx).
 
@@ -248,29 +271,92 @@ def make_train_step(cfg: ModelConfig, loss_kwargs=None, optimizer_kwargs=None,
     backward, Adam update, BN running-stat fold — is ONE jitted XLA program.
     ``return_grads`` additionally returns the gradient tree (for the
     LoggingGradient histogram callback).
+
+    ``grad_accum=K`` splits the batch into K microbatches and runs them
+    sequentially under ``lax.scan`` inside the SAME jitted program: gradients
+    are averaged, ONE optimizer update is applied, and BN running stats are
+    folded per microbatch in order (exactly what K torch forwards before one
+    ``optimizer.step()`` would do — the reference has no accumulation; this
+    is the TPU path to its batch-32 config, whose backward working set can
+    never fit a 16 GB chip at 448² even fully rematerialized — see
+    BASELINE.md "Training-step"). Peak memory is one microbatch's backward
+    plus a params-sized gradient accumulator. Per-microbatch loss
+    normalizers (masked-head counts, batch-joint dice) span the microbatch,
+    not the full batch — standard accumulation semantics.
+
+    ``micro_sharding``: optional sharding constraint applied to each
+    microbatched leaf (shape (K, N/K, ...)); the mesh path passes
+    ``P(None, 'data')`` so every microbatch stays batch-sharded.
     """
     from ..models.net_desc import subtype_frozen_prefixes
 
+    if grad_accum < 1:
+        raise ValueError(f"grad_accum must be >= 1, got {grad_accum}")
     loss_tables = _loss_table_static(loss_kwargs, cfg)
     tx, _ = make_optimizer(optimizer_kwargs,
                            frozen_pred=subtype_frozen_prefixes(cfg))
 
-    def step_fn(state: TrainState, batch, rng):
-        def loss_fn(params):
+    def grad_fn(params, batch, rng):
+        def loss_fn(p):
             # bn_sink is filled during the traced forward; it must leave the
             # grad trace through the aux output, never by closure capture
             bn_sink: dict = {}
             total, metrics = multitask_loss(
-                params, batch, cfg, loss_tables, bn_sink, rng, compute_dtype,
+                p, batch, cfg, loss_tables, bn_sink, rng, compute_dtype,
                 remat)
             return total, (metrics, bn_sink)
 
-        (_, (metrics, bn_sink)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
+        return jax.value_and_grad(loss_fn, has_aux=True)(params)
+
+    def step_fn(state: TrainState, batch, rng):
+        if grad_accum == 1:
+            (_, (metrics, bn_sink)), grads = grad_fn(state.params, batch, rng)
+        else:
+            k = grad_accum
+            n = batch["img"].shape[0]
+            if n % k:
+                raise ValueError(
+                    f"batch size {n} not divisible by grad_accum={k}")
+            micro = {key: v.reshape((k, n // k) + v.shape[1:])
+                     for key, v in batch.items()}
+            if micro_sharding is not None:
+                micro = {key: jax.lax.with_sharding_constraint(
+                    v, micro_sharding) for key, v in micro.items()}
+            mb_rngs = jax.random.split(rng, k)
+            # first microbatch outside the scan: its outputs define the
+            # carry structure (metric keys / bn names are only known by
+            # tracing one call)
+            first = {key: v[0] for key, v in micro.items()}
+            (_, (metrics0, bn0)), g0 = grad_fn(state.params, first,
+                                               mb_rngs[0])
+
+            def body(carry, xs):
+                g_sum, m_sum = carry
+                mb, mb_rng = xs
+                (_, (m, bn)), g = grad_fn(state.params, mb, mb_rng)
+                return (jax.tree.map(jnp.add, g_sum, g),
+                        jax.tree.map(jnp.add, m_sum, m)), bn
+
+            rest = {key: v[1:] for key, v in micro.items()}
+            (g_sum, m_sum), bn_rest = jax.lax.scan(
+                body, (g0, metrics0), (rest, mb_rngs[1:]))
+            grads = jax.tree.map(lambda x: x / k, g_sum)
+            metrics = jax.tree.map(lambda x: x / k, m_sum)
+            # stack first + scanned stats to (K, C) per bn layer, in order
+            bn_sink = {
+                name: (jnp.concatenate([bn0[name][0][None],
+                                        bn_rest[name][0]]),
+                       jnp.concatenate([bn0[name][1][None],
+                                        bn_rest[name][1]]))
+                for name in bn0
+            }
         updates, new_opt_state = tx.update(grads, state.opt_state,
                                            state.params)
         new_params = optax.apply_updates(state.params, updates)
-        new_params = _apply_bn_updates(new_params, bn_sink)
+        new_params = (_apply_bn_updates(new_params, bn_sink)
+                      if grad_accum == 1 else
+                      _apply_bn_updates_stacked(new_params, bn_sink,
+                                                grad_accum))
         new_state = TrainState(params=new_params, opt_state=new_opt_state,
                                step=state.step + 1)
         if return_grads:

@@ -5,7 +5,8 @@ Usage:
                [--nr_epochs=<n>] [--batch_size=<n>] [--seed=<n>] \
                [--pretrained=<path>] [--pretrained_fold=<n>] \
                [--pretrained_tag=<str>] [--per_n_steps=<n>] \
-               [--resume=<path>] [--bf16] [--remat=<stage>]
+               [--resume=<path>] [--bf16] [--remat=<stage>] \
+               [--grad_accum=<k>]
   run_train.py (-h | --help)
 
 Options:
@@ -33,6 +34,13 @@ Options:
                        that stage class. "all" is what fits the reference-
                        default 448² batch 12 fp32 on a 16 GB chip; measured
                        matrix in BASELINE.md "Training-step". [default: off]
+  --grad_accum=<k>     Gradient accumulation: split each batch into <k>
+                       sequential microbatches inside one jitted step (grads
+                       averaged, one Adam update, BN stats folded per
+                       microbatch in order). batch_size must be divisible by
+                       <k>. The path to the reference batch-32 config on one
+                       16 GB chip (e.g. --batch_size=32 --grad_accum=4);
+                       composes with --bf16/--remat and the mesh. [default: 1]
 
 The reference ships a complete training engine with NO launcher
 (SURVEY.md §1 — `run_utils/engine.py` has no caller in the repo); this CLI
@@ -132,6 +140,12 @@ if __name__ == "__main__":
 
         compute_dtype = jnp.bfloat16
 
+    grad_accum = int(args["--grad_accum"])
+    if grad_accum < 1 or batch_size % grad_accum:
+        raise SystemExit(f"--batch_size={batch_size} must be a positive "
+                         f"multiple of --grad_accum={grad_accum}")
+
     run_training(config, train_loaders, valid_loaders, log_dir=log_dir,
                  seed=int(args["--seed"]), pretrained_params=pretrained_params,
-                 compute_dtype=compute_dtype, remat=remat)
+                 compute_dtype=compute_dtype, remat=remat,
+                 grad_accum=grad_accum)

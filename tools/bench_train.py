@@ -91,6 +91,10 @@ def main() -> None:
             remat = True if val in ("all", "true", "1") else val
         elif arg == "--device_spans":
             device_spans = True
+    grad_accum = 1
+    for arg in sys.argv[1:]:
+        if arg.startswith("--grad_accum="):
+            grad_accum = int(arg.split("=")[1])
     backbone = "resnet34"
     for arg in sys.argv[1:]:
         if arg.startswith("--backbone="):
@@ -126,7 +130,7 @@ def main() -> None:
     step_fn, tx = make_train_step(
         cfg, LOSS_KWARGS, {"lr": 1e-3},
         compute_dtype=jnp.bfloat16 if bf16 else jnp.float32,
-        donate=True, remat=remat)
+        donate=True, remat=remat, grad_accum=grad_accum)
     state = TrainState(params=params, opt_state=tx.init(params),
                        step=jnp.zeros((), jnp.int32))
     key = jax.random.PRNGKey(1)
