@@ -13,7 +13,14 @@ so a container parser plus cv2's JPEG decoder covers the format natively:
   * pyramid levels = IFDs whose aspect matches the baseline (Aperio
     label/macro images differ in aspect and are skipped);
   * mpp from the Aperio ImageDescription (``|MPP = 0.25|``) or the
-    XResolution/ResolutionUnit tags.
+    XResolution/ResolutionUnit tags;
+  * Hamamatsu NDPI (the reference reaches it only through OpenSlide,
+    misc/wsi_handler.py:303-320): tag 65420 marks the format, pyramid
+    levels are the IFDs with positive SourceLens (65421; macro = -1 and
+    map = -2 are skipped), objective power = the base SourceLens, mpp
+    from XResolution in cm, and >4 GB files get the 32-bit offset
+    unwrap (_unwrap_ndpi_offset — NDPI stays a classic-TIFF container
+    past 4 GB, storing offsets modulo 2^32).
 
 Reads decode only the tiles covering the requested window (LRU-cached),
 so window reads are O(window), independent of slide size. Plugs into the
@@ -40,10 +47,16 @@ _TAGS = {
     282: "xres", 296: "res_unit", 317: "predictor",
     322: "tile_w", 323: "tile_h", 324: "tile_offsets", 325: "tile_counts",
     347: "jpeg_tables",
+    # Hamamatsu NDPI private tags (TIFF-with-quirks; OpenSlide docs):
+    # 65420 marks the format, 65421 is the per-IFD source lens — the
+    # objective magnification for pyramid levels, -1 for the macro image
+    # and -2 for the map image
+    65420: "ndpi_version", 65421: "source_lens",
 }
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
                10: 8, 11: 4, 12: 8, 16: 8, 17: 8, 18: 8}
-_TYPE_FMT = {1: "B", 3: "H", 4: "I", 8: "h", 9: "i", 16: "Q", 17: "q"}
+_TYPE_FMT = {1: "B", 3: "H", 4: "I", 8: "h", 9: "i", 11: "f", 12: "d",
+             16: "Q", 17: "q"}
 
 
 class _IFD:
@@ -122,6 +135,9 @@ def _parse_tiff(path: str) -> Tuple[List[_IFD], str]:
                 (n_entries,) = struct.unpack(endian + "H", handle.read(2))
             entries = handle.read(entry_fmt[1] * n_entries)
             ifd = _IFD()
+            # file position of this IFD: the anchor for NDPI's >4 GB
+            # 32-bit-offset unwrap (_unwrap_ndpi_offset)
+            ifd.tags["ifd_pos"] = next_ifd
             for i in range(n_entries):
                 raw = entries[i * entry_fmt[1]:(i + 1) * entry_fmt[1]]
                 tag, vtype, count = struct.unpack(entry_fmt[0], raw[:entry_fmt[1] - entry_fmt[3]])
@@ -136,6 +152,25 @@ def _parse_tiff(path: str) -> Tuple[List[_IFD], str]:
             (next_ifd,) = struct.unpack(endian + entry_fmt[2],
                                         handle.read(entry_fmt[3]))
     return ifds, endian
+
+
+def _unwrap_ndpi_offset(offset: int, anchor: int, file_size: int) -> int:
+    """Reconstruct a >4 GB NDPI file offset from its 32-bit field.
+
+    NDPI keeps the classic-TIFF container even past 4 GB, so stored
+    offsets are the true offset modulo 2^32 (the reason OpenSlide calls
+    NDPI "not valid TIFF"). Hamamatsu writes strip data adjacent to its
+    IFD, so of the candidates ``offset + k*2^32`` the true one is the
+    in-file candidate nearest the IFD position (``anchor``); files under
+    4 GB are returned unchanged."""
+    if file_size <= 0xFFFFFFFF:
+        return offset
+    base = (anchor & ~0xFFFFFFFF) | offset
+    cands = [c for c in (base - 0x100000000, base, base + 0x100000000)
+             if 0 <= c < file_size]
+    if not cands:
+        return offset
+    return min(cands, key=lambda c: abs(c - anchor))
 
 
 def _as_list(v) -> List[int]:
@@ -223,10 +258,19 @@ class TiffSlideReader(WSIReader):
             raise ValueError(f"{path}: no IFDs")
         base = ifds[0]
         bw, bh = int(base.width), int(base.height)
+        # NDPI (Hamamatsu): tag 65420 marks the format; pyramid levels are
+        # the IFDs with a positive source lens (65421) — the macro (-1)
+        # and map (-2) images are skipped by tag, not by aspect
+        self._ndpi = "ndpi_version" in base.tags
+        import os as _os
+
+        self._file_size = _os.path.getsize(path)
         # pyramid levels: aspect must match the baseline (Aperio label /
         # macro images have different aspect); keep descending sizes
         self._levels: List[_IFD] = [base]
         for ifd in ifds[1:]:
+            if self._ndpi and float(ifd.get("source_lens", 0) or 0) <= 0:
+                continue
             w, h = int(ifd.width), int(ifd.height)
             if w >= bw or h >= bh:
                 continue
@@ -259,6 +303,8 @@ class TiffSlideReader(WSIReader):
         m = re.search(r"AppMag\s*=\s*([0-9.]+)", desc)
         if m:
             power = float(m.group(1))
+        elif self._ndpi and float(base.get("source_lens", 0) or 0) > 0:
+            power = float(base.source_lens)
         self.info = SlideInfo(mpp=float(mpp), slide_dimensions=(bw, bh),
                               objective_power=power)
         self._decode_tile = lru_cache(maxsize=256)(self._decode_tile_impl)
@@ -285,6 +331,10 @@ class TiffSlideReader(WSIReader):
         tiled = "tile_offsets" in ifd.tags
         offsets = _as_list(ifd.tile_offsets if tiled else ifd.strip_offsets)
         counts = _as_list(ifd.tile_counts if tiled else ifd.strip_counts)
+        if self._ndpi:
+            anchor = int(ifd.get("ifd_pos", 0))
+            offsets = [_unwrap_ndpi_offset(o, anchor, self._file_size)
+                       for o in offsets]
         with open(self.path, "rb") as handle:
             handle.seek(offsets[idx])
             data = handle.read(counts[idx])
