@@ -292,14 +292,28 @@ def net_forward(
     compute_dtype=jnp.float32,
     remat=False,
     pclass_cells: int = 1,
+    paired: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Run all considered heads. ``imgs``: NHWC, any numeric dtype, 0-255.
 
     Returns {head_code: NHWC logits}. With ``bn_sink`` given (train mode),
     batch statistics are used and recorded, and branches outside
     ``train_decoder_list`` have gradients stopped at their outputs.
+
+    ``paired=True`` routes the encoder front through the width-paired
+    lowering (models/paired_encoder.py) — the training-side counterpart
+    of the inference TPU default (run_train.py --paired; reassociation-only
+    divergence, PARITY.md). Requires a basic-block resnet and W % 4 == 0.
     """
     training = bn_sink is not None
+    if paired:
+        from .paired_encoder import supports_paired_encoder
+
+        if not supports_paired_encoder(cfg.encoder_backbone_name,
+                                       int(imgs.shape[2])):
+            raise ValueError(
+                f"paired=True needs a basic-block resnet and width % 4 == 0"
+                f" (got {cfg.encoder_backbone_name}, W={imgs.shape[2]})")
     _init_fn, backbone_fwd, _filters = get_backbone(cfg.encoder_backbone_name)
     dsf = _is_dsf(cfg)
 
@@ -338,8 +352,18 @@ def net_forward(
 
     def run_backbone(p, x):
         sink: Dict = {}
-        feats = backbone_fwd(p, x, "backbone",
-                             sink if trunk_train else None)
+        if paired:
+            from .paired_decode import unpair_w
+            from .paired_encoder import resnet_forward_paired
+
+            feats = resnet_forward_paired(p, x, cfg.encoder_backbone_name,
+                                          "backbone",
+                                          sink if trunk_train else None)
+            # decoders consume the regular unpaired pyramid in training
+            feats = [unpair_w(feats[0]), unpair_w(feats[1])] + feats[2:]
+        else:
+            feats = backbone_fwd(p, x, "backbone",
+                                 sink if trunk_train else None)
         return feats, sink
 
     feat_list, stage_stats = _maybe_remat(run_backbone, "backbone")(params, x)

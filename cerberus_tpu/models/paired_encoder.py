@@ -40,7 +40,9 @@ Reference behavior being reproduced: the modified torchvision ResNet of
 /root/reference/models/backbone/resnet.py:195-197,273-286 (stride-1 7x7
 stem, maxpool, layer1) — numerics already pinned by
 tests/test_paired_encoder.py against models/backbones/resnet.py.
-Inference-only: training keeps the unpaired exact path.
+Training: opt-in via run_train.py --paired (bn_sink on resnet_forward_paired
+— train-mode BN folds paired batch stats exactly to the unpaired channel
+stats); the default training path stays unpaired bit-exact.
 """
 from __future__ import annotations
 
@@ -48,6 +50,7 @@ from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .backbones.resnet import RESNET_SPECS
 from .layers import batch_norm, conv2d, relu
@@ -60,6 +63,45 @@ def _paired_bn_inference(params, name: str, x):
     from .paired_decode import _pair_vec
 
     return batch_norm(_pair_vec(params[name]), x, train=False)
+
+
+def _paired_bn_train(params, name: str, x, sink: dict):
+    """Train-mode BN on a width-paired tensor.
+
+    Each unpaired channel c appears as paired channels {c, C+c} with equal
+    element counts (W even), so the union statistics fold exactly:
+
+        mean_c = (m0 + m1) / 2
+        var_c  = (v0 + v1) / 2 + ((m0 - m1) / 2)^2     (biased)
+
+    — the same values a train-mode BN on the unpaired tensor computes, up
+    to f32 reduction reassociation (the divergence class the paired path
+    already carries).  Records (mean, var_unbiased) under the UNPAIRED
+    param name so running-stat folds and checkpoints stay torch-keyed.
+    """
+    from .layers import BN_EPS
+
+    p = params[name]
+    c = x.shape[-1] // 2
+    xf = x.astype(jnp.float32)
+    axes = tuple(range(x.ndim - 1))
+    m2 = jnp.mean(xf, axis=axes)
+    v2 = jnp.var(xf, axis=axes)
+    mean = 0.5 * (m2[:c] + m2[c:])
+    var = 0.5 * (v2[:c] + v2[c:]) + jnp.square(0.5 * (m2[:c] - m2[c:]))
+    inv = (p["scale"] / jnp.sqrt(var + BN_EPS))
+    shift = p["bias"] - mean * p["scale"] / jnp.sqrt(var + BN_EPS)
+    y = x * jnp.tile(inv, 2).astype(x.dtype) + jnp.tile(shift, 2).astype(
+        x.dtype)
+    n = 2.0 * float(np.prod([x.shape[a] for a in axes]))
+    sink[name] = (mean, var * (n / max(n - 1.0, 1.0)))
+    return y
+
+
+def _paired_bn(params, name: str, x, bn_sink):
+    if bn_sink is None:
+        return _paired_bn_inference(params, name, x)
+    return _paired_bn_train(params, name, x, bn_sink)
 
 
 def pair_stem_kernel(kernel: jnp.ndarray) -> jnp.ndarray:
@@ -198,12 +240,21 @@ def use_paired_front(arch: str, width: int, batch: int,
 
 
 def resnet_forward_paired(params: Dict, x: jnp.ndarray, arch: str,
-                          prefix: str = "backbone") -> List[jnp.ndarray]:
-    """[x0_paired, x1_paired, x2, x3, x4] — inference-mode feature pyramid.
+                          prefix: str = "backbone",
+                          bn_sink: Optional[dict] = None
+                          ) -> List[jnp.ndarray]:
+    """[x0_paired, x1_paired, x2, x3, x4] — width-paired feature pyramid.
 
     x0/x1 come back width-paired at phase 0 (block-aligned with even-start
     crop windows); x2..x4 are regular unpaired NHWC, bit-compatible with
     models/backbones/resnet.resnet_forward up to conv reassociation.
+
+    ``bn_sink``: when given, batch-norm runs in TRAIN mode — batch stats
+    are computed on the paired tensors, folded exactly to the unpaired
+    channel stats (_paired_bn_train) and recorded under the torch-keyed
+    names, making this the paired TRAINING encoder front (run_train.py
+    --paired). Gradients reach the unpaired param tree through the kernel
+    repacks automatically (they are traced gather/scatter ops).
     """
     _block, counts = RESNET_SPECS[arch]
     n, h, w, c_in = x.shape
@@ -212,7 +263,7 @@ def resnet_forward_paired(params: Dict, x: jnp.ndarray, arch: str,
 
     xp = _conv_paired(pair_stem_kernel(params[f"{prefix}.conv1"]["kernel"]),
                       xp, w_pad=2)
-    x0p = xp = relu(_paired_bn_inference(params, f"{prefix}.bn1", xp))
+    x0p = xp = relu(_paired_bn(params, f"{prefix}.bn1", xp, bn_sink))
 
     xp = max_pool_paired(xp)
     # layer1: paired basic blocks (stride 1, no downsample for basic
@@ -228,10 +279,10 @@ def resnet_forward_paired(params: Dict, x: jnp.ndarray, arch: str,
         name = f"{prefix}.layer1.{b}"
         out = _conv_paired(
             pair_same3_kernel(params[f"{name}.conv1"]["kernel"]), xp, w_pad=1)
-        out = relu(_paired_bn_inference(params, f"{name}.bn1", out))
+        out = relu(_paired_bn(params, f"{name}.bn1", out, bn_sink))
         out = _conv_paired(
             pair_same3_kernel(params[f"{name}.conv2"]["kernel"]), out, w_pad=1)
-        out = _paired_bn_inference(params, f"{name}.bn2", out)
+        out = _paired_bn(params, f"{name}.bn2", out, bn_sink)
         xp = relu(out + xp)
     x1p = xp
 
@@ -246,16 +297,16 @@ def resnet_forward_paired(params: Dict, x: jnp.ndarray, arch: str,
     out = _conv_paired(
         pair_s2_exit_kernel(params[f"{name}.conv1"]["kernel"]), xp,
         w_pad=(1, 0), h_stride=2, h_pad=1)
-    out = relu(apply_bn(params, f"{name}.bn1", out, None))
+    out = relu(apply_bn(params, f"{name}.bn1", out, bn_sink))
     out = conv2d(params[f"{name}.conv2"], out)
-    out = apply_bn(params, f"{name}.bn2", out, None)
+    out = apply_bn(params, f"{name}.bn2", out, bn_sink)
     ds = jax.lax.conv_general_dilated(
         xp[..., :xp.shape[-1] // 2],
         params[f"{name}.downsample.0"]["kernel"].astype(xp.dtype),
         window_strides=(2, 1), padding=[(0, 0), (0, 0)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=xp.dtype)
-    ds = apply_bn(params, f"{name}.downsample.1", ds, None)
+    ds = apply_bn(params, f"{name}.downsample.1", ds, bn_sink)
     x = relu(out + ds)
 
     feats = []
@@ -265,6 +316,7 @@ def resnet_forward_paired(params: Dict, x: jnp.ndarray, arch: str,
         first = 1 if stage_idx == 1 else 0
         for b in range(first, n_blocks):
             x = _basic_block(params, f"{prefix}.layer{stage_idx + 1}.{b}", x,
-                             (2 if stage_idx else 1) if b == 0 else 1, None)
+                             (2 if stage_idx else 1) if b == 0 else 1,
+                             bn_sink)
         feats.append(x)
     return [x0p, x1p] + feats

@@ -254,7 +254,21 @@ def watershed_sharded(image: np.ndarray, markers: np.ndarray,
                       n_levels: int = 64) -> np.ndarray:
     """Marker watershed on a row-sharded canvas: level-ordered flooding with
     halo-row exchange per propagation round. Matches ops/lax_postproc.
-    watershed semantics (same level bucketing) across any mesh size."""
+    watershed semantics (same level bucketing) across any mesh size.
+
+    Divergence (documented in PARITY.md): within a level, claims are
+    permanent and local sweeps run to a LOCAL fixed point between halo
+    exchanges, so the BFS front crosses strip boundaries later than it
+    travels inside a strip — plateau TIES at strip boundaries can resolve
+    to the other basin vs the single-device kernel (measured 25 of 331k px
+    on a 288x1152 canvas, instance id sets identical). The same tie-break
+    caveat already applies between the single-device kernel and
+    priority-flood (lax_postproc.watershed docstring). CC propagation is
+    immune: min-label claims are overwritable, so its fixed point is
+    order-independent and connected_components_sharded stays bit-identical.
+    A lockstep variant (one sweep per exchange) would be bit-identical but
+    costs ~basin-diameter collectives per level — rejected for the same
+    dispatch-cost reason as the blocked-strip watershed (CLAUDE.md)."""
     n_dev = mesh.devices.size
     axis = mesh.axis_names[0]
     h, w = image.shape

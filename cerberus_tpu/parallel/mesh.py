@@ -89,7 +89,7 @@ def make_sharded_infer_step(params, cfg: ModelConfig, mesh: Mesh,
 def make_sharded_train_step(cfg: ModelConfig, mesh: Mesh, loss_kwargs=None,
                             optimizer_kwargs=None,
                             compute_dtype=jnp.float32, grad_accum: int = 1,
-                            remat=False):
+                            remat=False, paired: bool = False):
     """Data-parallel training step over the mesh.
 
     Parameters/optimizer state replicated; batch sharded on the leading
@@ -113,7 +113,7 @@ def make_sharded_train_step(cfg: ModelConfig, mesh: Mesh, loss_kwargs=None,
                                      compute_dtype, donate=True,
                                      grad_accum=grad_accum,
                                      micro_sharding=micro_sharding,
-                                     remat=remat)
+                                     remat=remat, paired=paired)
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(DATA_AXIS))
 
@@ -122,7 +122,16 @@ def make_sharded_train_step(cfg: ModelConfig, mesh: Mesh, loss_kwargs=None,
         return TrainState(params=params, opt_state=jax.device_put(
             tx.init(params), repl), step=jnp.zeros((), jnp.int32))
 
+    n_data = mesh.shape[DATA_AXIS]
+
     def run(state, batch, rng):
+        n = batch["img"].shape[0]
+        if n % (grad_accum * n_data):
+            # P(None, 'data') on the (K, N/K, ...) microbatch axis would
+            # otherwise rely on GSPMD implicit padding for uneven shards
+            raise ValueError(
+                f"batch size {n} must be divisible by grad_accum*devices "
+                f"({grad_accum}*{n_data})")
         batch = {k: jax.device_put(v, data) for k, v in batch.items()}
         return train_step(state, batch, rng)
 

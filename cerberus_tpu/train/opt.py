@@ -68,7 +68,7 @@ def build_trainer(config: Dict, train_loaders: Dict, valid_loaders: Dict,
                   log_dir: Optional[str] = None, seed: int = 0,
                   pretrained_params=None, best_metric: Optional[str] = None,
                   mesh=None, remat=False, compute_dtype=None,
-                  grad_accum: int = 1):
+                  grad_accum: int = 1, paired: bool = False):
     """Build chained train/infer engines for phase 0; returns (train_engine,
     infer_engine, net_holder).
 
@@ -114,14 +114,16 @@ def build_trainer(config: Dict, train_loaders: Dict, valid_loaders: Dict,
 
         train_step, init_state, tx = make_sharded_train_step(
             cfg, mesh, loss_kwargs, opt_kwargs,
-            compute_dtype=dtype, grad_accum=grad_accum, remat=remat)
+            compute_dtype=dtype, grad_accum=grad_accum, remat=remat,
+            paired=paired)
         state = init_state(params)
     else:
         train_step, tx = make_train_step(cfg, loss_kwargs,
                                          opt_kwargs,
                                          compute_dtype=dtype,
                                          remat=remat,
-                                         grad_accum=grad_accum)
+                                         grad_accum=grad_accum,
+                                         paired=paired)
         state = TrainState(params=params, opt_state=tx.init(params),
                            step=np.int32(0))
     resume_from = net_cfg.get("resume_from")
@@ -242,7 +244,8 @@ def build_trainer(config: Dict, train_loaders: Dict, valid_loaders: Dict,
 def run_training(config: Dict, train_loaders: Dict, valid_loaders: Dict,
                  log_dir: Optional[str] = None, seed: int = 0,
                  pretrained_params=None, best_metric=None, mesh=None,
-                 remat=False, compute_dtype=None, grad_accum: int = 1):
+                 remat=False, compute_dtype=None, grad_accum: int = 1,
+                 paired: bool = False):
     """Run every phase of ``config["phase_list"]`` sequentially.
 
     The reference's schema runs phases "sequentially from index 0 to N"
@@ -272,7 +275,8 @@ def run_training(config: Dict, train_loaders: Dict, valid_loaders: Dict,
         train_engine, _infer_engine, net = build_trainer(
             dict(config, phase_list=[phase]), train_loaders, valid_loaders,
             phase_dir, seed, pre, best_metric=best_metric, mesh=mesh,
-            remat=remat, compute_dtype=compute_dtype, grad_accum=grad_accum)
+            remat=remat, compute_dtype=compute_dtype, grad_accum=grad_accum,
+            paired=paired)
         try:
             train_engine.run(nr_epoch=phase["nr_epochs"])
         finally:

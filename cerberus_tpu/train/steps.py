@@ -142,7 +142,8 @@ def _loss_weight_tables(loss_kwargs: Mapping, cfg: ModelConfig):
 
 def multitask_loss(params, batch, cfg: ModelConfig, loss_tables,
                    bn_sink: Optional[dict], dropout_rng,
-                   compute_dtype=jnp.float32, remat=False):
+                   compute_dtype=jnp.float32, remat=False,
+                   paired: bool = False):
     """Returns (total_loss, per-head scalar dict)."""
     heads = head_order(cfg)
     n_ch = head_output_channels(cfg)
@@ -174,7 +175,8 @@ def multitask_loss(params, batch, cfg: ModelConfig, loss_tables,
                             bn_sink=bn_sink,
                             dropout_rng=dropout_rng,
                             compute_dtype=compute_dtype,
-                            remat=remat)
+                            remat=remat,
+                            paired=paired)
 
     total = jnp.zeros((), jnp.float32)
     metrics = {}
@@ -263,7 +265,8 @@ def _apply_bn_updates_stacked(params, bn_sink, k: int):
 def make_train_step(cfg: ModelConfig, loss_kwargs=None, optimizer_kwargs=None,
                     compute_dtype=jnp.float32, donate: bool = True,
                     return_grads: bool = False, remat=False,
-                    grad_accum: int = 1, micro_sharding=None):
+                    grad_accum: int = 1, micro_sharding=None,
+                    paired: bool = False):
     """Returns (train_step(state, batch, rng) -> (state, metrics[, grads]),
     tx).
 
@@ -287,6 +290,13 @@ def make_train_step(cfg: ModelConfig, loss_kwargs=None, optimizer_kwargs=None,
     ``micro_sharding``: optional sharding constraint applied to each
     microbatched leaf (shape (K, N/K, ...)); the mesh path passes
     ``P(None, 'data')`` so every microbatch stays batch-sharded.
+
+    ``paired=True`` (opt-in, run_train.py --paired): width-paired encoder
+    front in the training forward+backward — the inference TPU default's
+    divergence class (conv reassociation only, PARITY.md) applied to
+    training, where the 64-channel stages otherwise run batch-minor and
+    starve the MXU (~13% MFU, VERDICT r3 weak #5). Default stays the
+    bit-exact unpaired path.
     """
     from ..models.net_desc import subtype_frozen_prefixes
 
@@ -303,7 +313,7 @@ def make_train_step(cfg: ModelConfig, loss_kwargs=None, optimizer_kwargs=None,
             bn_sink: dict = {}
             total, metrics = multitask_loss(
                 p, batch, cfg, loss_tables, bn_sink, rng, compute_dtype,
-                remat)
+                remat, paired)
             return total, (metrics, bn_sink)
 
         return jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -323,12 +333,16 @@ def make_train_step(cfg: ModelConfig, loss_kwargs=None, optimizer_kwargs=None,
                 micro = {key: jax.lax.with_sharding_constraint(
                     v, micro_sharding) for key, v in micro.items()}
             mb_rngs = jax.random.split(rng, k)
-            # first microbatch outside the scan: its outputs define the
-            # carry structure (metric keys / bn names are only known by
-            # tracing one call)
+            # carry structure (metric keys / bn names / grad tree) comes
+            # from an abstract eval_shape trace — zero FLOPs in the
+            # compiled program, so the heavy fwd+bwd is compiled exactly
+            # once, inside the scan body
             first = {key: v[0] for key, v in micro.items()}
-            (_, (metrics0, bn0)), g0 = grad_fn(state.params, first,
-                                               mb_rngs[0])
+            (_, (m_shape, _)), g_shape = jax.eval_shape(
+                grad_fn, state.params, first, mb_rngs[0])
+            zeros = lambda s: jnp.zeros(s.shape, s.dtype)
+            carry0 = (jax.tree.map(zeros, g_shape),
+                      jax.tree.map(zeros, m_shape))
 
             def body(carry, xs):
                 g_sum, m_sum = carry
@@ -337,19 +351,11 @@ def make_train_step(cfg: ModelConfig, loss_kwargs=None, optimizer_kwargs=None,
                 return (jax.tree.map(jnp.add, g_sum, g),
                         jax.tree.map(jnp.add, m_sum, m)), bn
 
-            rest = {key: v[1:] for key, v in micro.items()}
-            (g_sum, m_sum), bn_rest = jax.lax.scan(
-                body, (g0, metrics0), (rest, mb_rngs[1:]))
+            (g_sum, m_sum), bn_sink = jax.lax.scan(
+                body, carry0, (micro, mb_rngs))
             grads = jax.tree.map(lambda x: x / k, g_sum)
             metrics = jax.tree.map(lambda x: x / k, m_sum)
-            # stack first + scanned stats to (K, C) per bn layer, in order
-            bn_sink = {
-                name: (jnp.concatenate([bn0[name][0][None],
-                                        bn_rest[name][0]]),
-                       jnp.concatenate([bn0[name][1][None],
-                                        bn_rest[name][1]]))
-                for name in bn0
-            }
+            # scan stacks each bn leaf to (K, C) per layer, in order
         updates, new_opt_state = tx.update(grads, state.opt_state,
                                            state.params)
         new_params = optax.apply_updates(state.params, updates)

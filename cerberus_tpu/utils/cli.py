@@ -13,19 +13,34 @@ import sys
 
 
 def parse_defaults(doc: str) -> dict:
-    """Extract ``{--flag: default-or-None}`` from the Options section."""
+    """Extract ``{--flag: default-or-None}`` from the Options section.
+
+    ``[default: ...]`` may sit on a CONTINUATION line of a multi-line
+    option description (real docopt scans the whole description block);
+    track the most recent flag so e.g. run_train.py's ``--grad_accum``
+    default is found on its last wrapped line."""
     defaults = {}
+    current = None
     for line in doc.splitlines():
-        line = line.strip()
-        match = re.match(r"(--[A-Za-z0-9_\-]+)(?:=<[^>]*>)?\s{2,}", line)
+        stripped = line.strip()
+        match = re.match(r"(--[A-Za-z0-9_\-]+)(?:=<[^>]*>)?\s{2,}", stripped)
         if not match:
             # options with no trailing description double-space
-            match = re.match(r"(--[A-Za-z0-9_\-]+)(?:=<[^>]*>)?\s", line)
-        if not match:
+            match = re.match(r"(--[A-Za-z0-9_\-]+)(?:=<[^>]*>)?\s", stripped)
+        if match:
+            current = match.group(1)
+            default_match = re.search(r"\[default:\s*(.*?)\]", stripped)
+            defaults[current] = (default_match.group(1)
+                                 if default_match else None)
             continue
-        flag = match.group(1)
-        default_match = re.search(r"\[default:\s*(.*?)\]", line)
-        defaults[flag] = default_match.group(1) if default_match else None
+        # continuation line of the current option's description: indented,
+        # not a usage line (those start with the program name or '[')
+        if current and line.startswith(" ") and not stripped.startswith("["):
+            default_match = re.search(r"\[default:\s*(.*?)\]", stripped)
+            if default_match and defaults.get(current) is None:
+                defaults[current] = default_match.group(1)
+        elif not line.startswith(" "):
+            current = None  # section break (e.g. prose after Options)
     return defaults
 
 

@@ -6,7 +6,7 @@ Usage:
                [--pretrained=<path>] [--pretrained_fold=<n>] \
                [--pretrained_tag=<str>] [--per_n_steps=<n>] \
                [--resume=<path>] [--bf16] [--remat=<stage>] \
-               [--grad_accum=<k>]
+               [--grad_accum=<k>] [--paired]
   run_train.py (-h | --help)
 
 Options:
@@ -41,6 +41,13 @@ Options:
                        <k>. The path to the reference batch-32 config on one
                        16 GB chip (e.g. --batch_size=32 --grad_accum=4);
                        composes with --bf16/--remat and the mesh. [default: 1]
+  --paired             Width-paired encoder front in the training
+                       forward+backward (models/paired_encoder.py) — the
+                       inference TPU default's MXU-lane fix applied to
+                       training; divergence is conv-accumulation
+                       reassociation only (PARITY.md). Requires a
+                       basic-block resnet backbone and input width % 4 == 0.
+                       Default keeps the bit-exact unpaired path.
 
 The reference ships a complete training engine with NO launcher
 (SURVEY.md §1 — `run_utils/engine.py` has no caller in the repo); this CLI
@@ -148,4 +155,4 @@ if __name__ == "__main__":
     run_training(config, train_loaders, valid_loaders, log_dir=log_dir,
                  seed=int(args["--seed"]), pretrained_params=pretrained_params,
                  compute_dtype=compute_dtype, remat=remat,
-                 grad_accum=grad_accum)
+                 grad_accum=grad_accum, paired=bool(args["--paired"]))

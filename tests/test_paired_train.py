@@ -1,0 +1,215 @@
+"""Width-paired TRAINING path (VERDICT r3 task 2): forward+backward through
+the paired encoder front must match the unpaired bit-exact path up to conv
+reassociation (the divergence class the inference TPU default already
+carries, PARITY.md), with BN batch stats folded exactly to the unpaired
+channel statistics.
+
+Reference match: models/run_desc.py:25-230 (train_step being accelerated).
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cerberus_tpu.config import DEFAULT_DECODER_KWARGS, ModelConfig
+from cerberus_tpu.models.net_desc import init_net_params, net_forward
+from cerberus_tpu.train.steps import (
+    TrainState,
+    _loss_table_static,
+    head_order,
+    make_train_step,
+    multitask_loss,
+)
+
+MODEL_KWARGS = {
+    "encoder_backbone_name": "resnet18",
+    "decoder_kwargs": DEFAULT_DECODER_KWARGS,
+    "considered_tasks": list(DEFAULT_DECODER_KWARGS.keys()),
+}
+CFG = ModelConfig.from_kwargs(MODEL_KWARGS)
+
+LOSS_KWARGS = {
+    "loss_info": {
+        "Lumen-INST": {"weight": 1.5, "loss": {"ce": 1}},
+        "Gland-INST": {"weight": 1.4, "loss": {"ce": 1}},
+        "Nuclei-INST": {"weight": 1, "loss": {"ce": 1}},
+        "Nuclei-TYPE": {"weight": 0, "loss": {"ce": 1, "dice": 1}},
+        "Gland-TYPE": {"weight": 1, "loss": {"ce": 1, "dice": 1}},
+        "Patch-Class": {"weight": 0.4, "loss": {"ce": 1}},
+    },
+}
+
+
+def _make_batch(rng, n=2, hw=48):
+    heads = head_order(CFG)
+    batch = {
+        "img": rng.integers(0, 255, (n, hw, hw, 3)).astype(np.uint8),
+        "has_target": np.ones((n, len(heads)), np.float32),
+    }
+    ch = {"Lumen-INST": 3, "Gland-INST": 3, "Nuclei-INST": 3,
+          "Nuclei-TYPE": 7, "Gland-TYPE": 3}
+    for head, n_cls in ch.items():
+        batch[head] = rng.integers(0, n_cls, (n, hw, hw, 1)).astype(np.int32)
+        if head.endswith("-INST"):
+            batch[head + "#WEIGHT-MAP"] = np.ones((n, hw, hw, 1), np.float32)
+    batch["Patch-Class"] = rng.integers(0, 9, (n, 1, 1, 1)).astype(np.int32)
+    return batch
+
+
+
+
+def _tame_heads(params):
+    """Scale the final head convs so logits are O(1): random-init logits
+    are O(+-40), softmax saturates, and CE gradients then jump discretely
+    when reassociation-level activation noise flips saturation-boundary
+    pixels — making grad comparisons ill-conditioned. Tamed heads keep the
+    loss smooth so tolerances can be tight."""
+    params = {k: dict(v) for k, v in params.items()}
+    for name, leaf in params.items():
+        if (name.endswith(".x.1.conv") and name.startswith("output_head."))\
+                or name == "decoder_head.Patch-Class.conv2":
+            leaf = dict(leaf)
+            leaf["kernel"] = leaf["kernel"] * 0.05
+            params[name] = leaf
+    return params
+
+@pytest.fixture(scope="module")
+def params():
+    return _tame_heads(init_net_params(jax.random.PRNGKey(0), CFG))
+
+
+def test_paired_train_forward_and_bn_stats_match(params):
+    """Train-mode forward: logits and recorded BN batch stats match the
+    unpaired path (reassociation-level tolerances; _paired_bn_train's exact
+    parity fold)."""
+    imgs = jnp.asarray(
+        np.random.default_rng(0).integers(0, 255, (2, 48, 48, 3), np.uint8))
+    outs, sinks = {}, {}
+    for paired in (False, True):
+        sink = {}
+        outs[paired] = net_forward(
+            params, imgs, CFG,
+            train_decoder_list=tuple(CFG.active_decoders()),
+            bn_sink=sink, paired=paired)
+        sinks[paired] = sink
+    for head in outs[False]:
+        np.testing.assert_allclose(
+            np.asarray(outs[True][head]), np.asarray(outs[False][head]),
+            atol=2e-3, rtol=0, err_msg=head)
+    assert set(sinks[True]) == set(sinks[False])
+    for name in sinks[False]:
+        for i, what in enumerate(("mean", "var")):
+            np.testing.assert_allclose(
+                np.asarray(sinks[True][name][i]),
+                np.asarray(sinks[False][name][i]),
+                atol=5e-3, rtol=1e-3, err_msg=f"{name} {what}")
+
+
+def test_paired_train_loss_and_grads_match(params):
+    """value_and_grad through the paired forward: loss and gradient tree
+    match the unpaired path (post-Adam params are NOT compared — near-zero
+    gradients amplify reassociation noise to ~lr through g/(|g|+eps))."""
+    loss_tables = _loss_table_static(LOSS_KWARGS, CFG)
+    batch = _make_batch(np.random.default_rng(1))
+    key = jax.random.PRNGKey(2)
+
+    results = {}
+    for paired in (False, True):
+        def loss_fn(p):
+            sink = {}
+            total, mets = multitask_loss(p, batch, CFG, loss_tables, sink,
+                                         key, paired=paired)
+            return total, mets
+        (loss, mets), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        results[paired] = (float(loss), grads)
+
+    loss_u, g_u = results[False]
+    loss_p, g_p = results[True]
+    # Tolerance calibration (measured, CPU f32): loss rel ~1e-4. Full-model
+    # gradients at RANDOM init amplify reassociation noise via cancellation
+    # — the stem grads sum five towers' large, partially-cancelling
+    # contributions, so even plain jit-vs-eager of the UNPAIRED path
+    # differs by ~2e-3 abs on backbone.bn1.bias and the paired path lands
+    # ~2% rel there. The tight backward correctness check is
+    # test_paired_encoder_backward_matches (encoder-isolated: <=5e-6 abs);
+    # this test guards structure (scaling/averaging/rng-routing bugs are
+    # O(1) rel).
+    np.testing.assert_allclose(loss_p, loss_u, rtol=1e-3)
+    for name in g_u:
+        for leaf in g_u[name]:
+            a, b = np.asarray(g_p[name][leaf]), np.asarray(g_u[name][leaf])
+            # scale-aware atol: the cancellation noise floor on a leaf is
+            # proportional to its largest gradient (partial sums are ~1e3x
+            # the residual), measured ~1e-3 x max|g| on conv1.kernel
+            atol = max(1e-3, 5e-3 * float(np.abs(b).max()))
+            np.testing.assert_allclose(
+                a, b, atol=atol, rtol=5e-2, err_msg=f"grad {name}.{leaf}")
+
+
+def test_paired_encoder_backward_matches(params):
+    """Encoder-isolated backward: gradients through the paired train-mode
+    front (train BN + repacked kernels + maxpool) vs the unpaired backbone
+    match at reassociation level (<=1e-5 abs, measured ~5e-6) — the tight
+    correctness check for the paired backward, free of the loss-side
+    cancellation amplification documented above."""
+    from cerberus_tpu.models.backbones.resnet import resnet_forward
+    from cerberus_tpu.models.paired_decode import unpair_w
+    from cerberus_tpu.models.paired_encoder import resnet_forward_paired
+
+    x = jnp.asarray(
+        np.random.default_rng(5).random((2, 48, 48, 3)), jnp.float32)
+
+    def loss(p, paired):
+        sink = {}
+        if paired:
+            feats = resnet_forward_paired(p, x, "resnet18", "backbone", sink)
+            feats = [unpair_w(feats[0]), unpair_w(feats[1])] + feats[2:]
+        else:
+            feats = resnet_forward(p, x, "resnet18", "backbone", sink)
+        return sum(jnp.sum(jnp.square(f)) for f in feats) / 1e4
+
+    bb = {k: v for k, v in params.items() if k.startswith("backbone.")}
+    lu, gu = jax.value_and_grad(lambda p: loss(p, False))(bb)
+    lp, gp = jax.value_and_grad(lambda p: loss(p, True))(bb)
+    np.testing.assert_allclose(float(lp), float(lu), rtol=1e-6)
+    for name in gu:
+        for leaf in gu[name]:
+            np.testing.assert_allclose(
+                np.asarray(gp[name][leaf]), np.asarray(gu[name][leaf]),
+                atol=1e-5, rtol=0, err_msg=f"grad {name}.{leaf}")
+
+
+def test_paired_train_step_runs_and_updates(params):
+    """The full jitted paired train step (make_train_step(paired=True))
+    compiles, runs, and moves the stem weights — including the paired
+    kernels' gradient flow back through the repack scatters."""
+    step_fn, tx = make_train_step(CFG, LOSS_KWARGS, {"lr": 1e-3},
+                                  donate=False, paired=True)
+    state = TrainState(params=params, opt_state=tx.init(params),
+                       step=jnp.zeros((), jnp.int32))
+    batch = _make_batch(np.random.default_rng(3))
+    new_state, metrics = step_fn(state, batch, jax.random.PRNGKey(4))
+    assert np.isfinite(float(metrics["overall_loss"]))
+    w0 = np.asarray(state.params["backbone.conv1"]["kernel"])
+    w1 = np.asarray(new_state.params["backbone.conv1"]["kernel"])
+    assert not np.allclose(w0, w1)
+    # BN running stats moved too (the paired train BN recorded real stats)
+    m0 = np.asarray(state.params["backbone.bn1"]["mean"])
+    m1 = np.asarray(new_state.params["backbone.bn1"]["mean"])
+    assert not np.allclose(m0, m1)
+
+
+def test_paired_rejects_unsupported():
+    cfg50 = ModelConfig.from_kwargs(dict(
+        MODEL_KWARGS, encoder_backbone_name="resnet50"))
+    params50 = init_net_params(jax.random.PRNGKey(0), cfg50)
+    imgs = jnp.zeros((1, 48, 48, 3), jnp.uint8)
+    with pytest.raises(ValueError, match="basic-block"):
+        net_forward(params50, imgs, cfg50, bn_sink={}, paired=True)
+    # width not divisible by 4
+    params18 = init_net_params(jax.random.PRNGKey(0), CFG)
+    with pytest.raises(ValueError, match="basic-block"):
+        net_forward(params18, jnp.zeros((1, 46, 46, 3), jnp.uint8), CFG,
+                    bn_sink={}, paired=True)

@@ -12,6 +12,7 @@ Usage:
                               [--remat[=all|backbone|towers]]
                               [--steps=N] [--watchdog=SECONDS]
                               [--backbone=NAME] [--device_spans]
+                              [--paired]
 
 --device_spans additionally traces N steps and reports tunnel-immune
 ON-DEVICE ms/step + imgs/s from the TPU lane's jit_ spans.
@@ -74,7 +75,7 @@ def main() -> None:
             wd = int(arg.split("=")[1])
     _watchdog(wd)
     batch, hw, steps = 12, 448, 6
-    bf16 = remat = device_spans = False
+    bf16 = remat = device_spans = paired = False
     for arg in sys.argv[1:]:
         if arg.startswith("--batch="):
             batch = int(arg.split("=")[1])
@@ -91,6 +92,8 @@ def main() -> None:
             remat = True if val in ("all", "true", "1") else val
         elif arg == "--device_spans":
             device_spans = True
+        elif arg == "--paired":
+            paired = True
     grad_accum = 1
     for arg in sys.argv[1:]:
         if arg.startswith("--grad_accum="):
@@ -130,7 +133,7 @@ def main() -> None:
     step_fn, tx = make_train_step(
         cfg, LOSS_KWARGS, {"lr": 1e-3},
         compute_dtype=jnp.bfloat16 if bf16 else jnp.float32,
-        donate=True, remat=remat, grad_accum=grad_accum)
+        donate=True, remat=remat, grad_accum=grad_accum, paired=paired)
     state = TrainState(params=params, opt_state=tx.init(params),
                        step=jnp.zeros((), jnp.int32))
     key = jax.random.PRNGKey(1)
@@ -194,7 +197,8 @@ def main() -> None:
     print(json.dumps({
         "metric": f"train steps/sec ({backbone}, {hw}^2, batch {batch}, "
                   f"{'bf16' if bf16 else 'fp32'}"
-                  f"{f', remat={remat}' if remat else ''})",
+                  f"{f', remat={remat}' if remat else ''}"
+                  f"{', paired' if paired else ''})",
         "value": round(sps, 3),
         "unit": "steps/s",
         "imgs_per_sec": round(sps * batch, 2),
