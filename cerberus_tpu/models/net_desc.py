@@ -300,10 +300,13 @@ def net_forward(
     batch statistics are used and recorded, and branches outside
     ``train_decoder_list`` have gradients stopped at their outputs.
 
-    ``paired=True`` routes the encoder front through the width-paired
-    lowering (models/paired_encoder.py) — the training-side counterpart
-    of the inference TPU default (run_train.py --paired; reassociation-only
-    divergence, PARITY.md). Requires a basic-block resnet and W % 4 == 0.
+    ``paired=True`` routes the encoder front (models/paired_encoder.py)
+    AND the decoder towers' 64-channel finest levels + heads
+    (models/paired_tower.py) through the width-paired lowering — the
+    training-side counterpart of the inference TPU default
+    (run_train.py --paired; reassociation-only divergence, PARITY.md;
+    1.42x device ms/step at b8 bf16). Requires a basic-block resnet and
+    W % 4 == 0.
     """
     training = bn_sink is not None
     if paired:
@@ -424,6 +427,19 @@ def net_forward(
                        _heads=tuple(h for h, _ in heads)):
             sink: Dict = {}
             s = sink if _train else None
+            if paired:
+                # width-paired tower + heads (models/paired_tower.py): the
+                # 64-channel finest levels — the dominant training FLOPs —
+                # run at full MXU lane occupancy; reassociation-only
+                # divergence (PARITY.md)
+                from .paired_tower import paired_train_head, paired_train_tower
+
+                prev = paired_train_tower(p, _name, feats, s)
+                return {
+                    head_name: paired_train_head(
+                        p, f"output_head.{_name}.{head_name}.x", prev, s)
+                    for head_name in _heads
+                }, sink
             if dsf:
                 prev = _gconv_decoder_tower(p, _name, feats, nr, s)
                 prev = group_pool(prev, nr, "max")

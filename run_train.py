@@ -41,10 +41,12 @@ Options:
                        <k>. The path to the reference batch-32 config on one
                        16 GB chip (e.g. --batch_size=32 --grad_accum=4);
                        composes with --bf16/--remat and the mesh. [default: 1]
-  --paired             Width-paired encoder front in the training
-                       forward+backward (models/paired_encoder.py) — the
-                       inference TPU default's MXU-lane fix applied to
-                       training; divergence is conv-accumulation
+  --paired             Width-paired encoder front AND decoder-tower finest
+                       levels in the training forward+backward
+                       (models/paired_encoder.py, models/paired_tower.py) —
+                       the inference TPU default's MXU-lane fix applied to
+                       training: 1.42x device ms/step at b8/b32-accum bf16
+                       (BASELINE.md). Divergence is conv-accumulation
                        reassociation only (PARITY.md). Requires a
                        basic-block resnet backbone and input width % 4 == 0.
                        Default keeps the bit-exact unpaired path.

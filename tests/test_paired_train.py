@@ -213,3 +213,49 @@ def test_paired_rejects_unsupported():
     with pytest.raises(ValueError, match="basic-block"):
         net_forward(params18, jnp.zeros((1, 46, 46, 3), jnp.uint8), CFG,
                     bn_sink={}, paired=True)
+
+
+def test_paired_tower_backward_matches(params):
+    """Tower-isolated backward: gradients through one width-paired training
+    tower + head (train BN, repacked SAME kernels, paired upsample) vs the
+    unpaired _decoder_tower path at reassociation level (<=1e-5 abs) — the
+    tight correctness check for the paired tower backward, free of the
+    full-loss cancellation amplification documented above."""
+    from cerberus_tpu.models.net_desc import _conv_block, _decoder_tower
+    from cerberus_tpu.models.layers import conv2d
+    from cerberus_tpu.models.paired_tower import (
+        paired_train_head,
+        paired_train_tower,
+    )
+
+    rng = np.random.default_rng(7)
+    feats = [jnp.asarray(rng.random((2, s, s, c)) - 0.5, jnp.float32)
+             for s, c in ((48, 64), (24, 64), (12, 128), (6, 256), (3, 256))]
+    name = "Gland"
+    sub = {k: v for k, v in params.items()
+           if k.startswith(f"decoder_head.{name}.")
+           or k.startswith(f"output_head.{name}.INST.")}
+
+    def loss(p, paired):
+        sink = {}
+        if paired:
+            prev = paired_train_tower(p, name, feats, sink)
+            out = paired_train_head(p, f"output_head.{name}.INST.x", prev,
+                                    sink)
+        else:
+            prev = _decoder_tower(p, name, feats, sink)
+            out = _conv_block(p, f"output_head.{name}.INST.x.0", prev, 1,
+                              sink)
+            out = conv2d(p[f"output_head.{name}.INST.x.1.conv"], out,
+                         padding=0)
+        aux = sum(jnp.sum(m) + jnp.sum(v) for m, v in sink.values())
+        return jnp.sum(jnp.square(out)) / out.size + aux * 1e-3
+
+    lu, gu = jax.value_and_grad(lambda p: loss(p, False))(sub)
+    lp, gp = jax.value_and_grad(lambda p: loss(p, True))(sub)
+    np.testing.assert_allclose(float(lp), float(lu), rtol=1e-5)
+    for pname in gu:
+        for leaf in gu[pname]:
+            np.testing.assert_allclose(
+                np.asarray(gp[pname][leaf]), np.asarray(gu[pname][leaf]),
+                atol=1e-5, rtol=0, err_msg=f"grad {pname}.{leaf}")
