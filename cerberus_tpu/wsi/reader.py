@@ -323,6 +323,81 @@ class JP2Reader(WSIReader):
         return _to_rgb_u8(np.asarray(region))
 
 
+class Jp2NativeReader(WSIReader):
+    """Raw JPEG2000 (.jp2 / .j2k) reader via cv2's bundled OpenJPEG — no
+    glymur needed.  Same contract as JP2Reader: JP2 streams carry no stored
+    pyramid, so 6 power-of-two PSEUDO-levels are realized as strided reads
+    (the reference ``JP2Handler`` design, misc/wsi_handler.py:190-300).
+
+    cv2 exposes no region decode, so the first pixel access decodes the
+    whole codestream once and caches it; every level is then a strided
+    view (identical values to the glymur reader's ``jp2[::s]`` slicing).
+    Geometry (``info``) is parsed from the JP2 ihdr box / J2K SIZ marker
+    without decoding, so opening stays cheap.  Memory = one full-res RGB
+    frame; fine for the CRC-cohort-scale .jp2 inputs the reference targets,
+    documented trade-off vs glymur's windowed decode.
+    """
+
+    N_PSEUDO_LEVELS = JP2Reader.N_PSEUDO_LEVELS
+
+    def __init__(self, path: str, mpp: Optional[float] = None,
+                 objective_power: Optional[float] = 40.0):
+        self._path = path
+        self._img: Optional[np.ndarray] = None
+        w, h = self._parse_dimensions(path)
+        if mpp is None:
+            mpp = 0.275  # reference fallback (misc/wsi_handler.py:213-218)
+        self.info = SlideInfo(mpp=float(mpp), slide_dimensions=(w, h),
+                              objective_power=objective_power)
+        self._level_downsamples = [float(2 ** k)
+                                   for k in range(self.N_PSEUDO_LEVELS)]
+
+    @staticmethod
+    def _parse_dimensions(path: str) -> tuple:
+        """(w, h) from the JP2 'ihdr' box or raw-codestream SIZ marker."""
+        import struct
+
+        with open(path, "rb") as f:
+            head = f.read(4096)
+        if head[:4] == b"\xff\x4f\xff\x51":      # SOC + SIZ (raw codestream)
+            # SOC(2) SIZ(2) Lsiz(2) Rsiz(2) then Xsiz Ysiz XOsiz YOsiz
+            xs, ys, xo, yo = struct.unpack(">4I", head[8:24])
+            return xs - xo, ys - yo
+        pos = 0
+        while pos + 8 <= len(head):              # JP2 box walk (top + jp2h)
+            length, btype = struct.unpack(">I4s", head[pos:pos + 8])
+            if btype == b"ihdr":
+                h, w = struct.unpack(">2I", head[pos + 8:pos + 16])
+                return w, h
+            # descend into the jp2h superbox; skip other boxes
+            pos += 8 if btype == b"jp2h" else max(int(length), 8)
+        raise ValueError(f"{path}: no JP2 ihdr box / J2K SIZ marker found")
+
+    def _decoded(self) -> np.ndarray:
+        if self._img is None:
+            import cv2
+
+            with open(self._path, "rb") as f:
+                data = np.frombuffer(f.read(), np.uint8)
+            img = cv2.imdecode(data, cv2.IMREAD_COLOR)
+            if img is None:
+                raise ValueError(f"{self._path}: cv2/OpenJPEG failed to "
+                                 "decode the JPEG2000 stream")
+            self._img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        return self._img
+
+    def _read_level(self, lvl, x0, y0, x1, y1):
+        s = int(self._level_downsamples[lvl])
+        img = self._decoded()
+        return _to_rgb_u8(img[y0 * s:y1 * s:s, x0 * s:x1 * s:s])
+
+    def _read_level_strided(self, lvl, x0, y0, x1, y1, stride):
+        ds = int(self._level_downsamples[lvl])
+        img = self._decoded()
+        return _to_rgb_u8(img[y0 * ds:y1 * ds:ds * stride,
+                              x0 * ds:x1 * ds:ds * stride])
+
+
 def open_wsi(path: str, mpp: Optional[float] = None) -> WSIReader:
     """Extension dispatch (the reference's get_file_handler /
     WSIReader.open analog, misc/wsi_handler.py:303-320)."""
@@ -345,14 +420,14 @@ def open_wsi(path: str, mpp: Optional[float] = None) -> WSIReader:
             return ImageReader(path, mpp=mpp or 0.5)
     if ext in (".png", ".jpg", ".jpeg", ".bmp"):
         return ImageReader(path, mpp=mpp or 0.5)
-    if ext == ".jp2":
+    if ext in (".jp2", ".j2k"):
         try:
             return JP2Reader(path, mpp=mpp)
-        except ImportError as exc:
-            raise RuntimeError(
-                f"{path}: JP2 requires glymur, which is not available in "
-                "this environment; convert to an .npy pyramid directory "
-                "(level_0.npy + meta.yml)") from exc
+        except ImportError:
+            # native fallback: cv2's bundled OpenJPEG (same decoder the
+            # Aperio-J2K SVS path uses) — full-decode-once + strided
+            # pseudo-levels, value-identical to the glymur slicing
+            return Jp2NativeReader(path, mpp=mpp)
     if ext in (".svs", ".ndpi", ".mrxs", ".scn", ".vms", ".vmu", ".svslide"):
         try:
             return OpenSlideReader(path)

@@ -153,7 +153,57 @@ def test_jp2_reader_via_stub(tmp_path, monkeypatch):
     # native
     region = reader.read_bounds([3, 5, 33, 25], 0.25)
     np.testing.assert_array_equal(region, plane[5:25, 3:33])
-    # dispatch: .jp2 without glymur raises the gated error
+    # dispatch: .jp2 without glymur falls back to the native cv2 reader
     monkeypatch.delitem(sys.modules, "glymur")
-    with pytest.raises(RuntimeError, match="glymur"):
-        open_wsi(str(tmp_path / "x.jp2"))
+    import cv2
+
+    from cerberus_tpu.wsi.reader import Jp2NativeReader
+
+    ok, enc = cv2.imencode(".jp2", cv2.cvtColor(plane, cv2.COLOR_RGB2BGR),
+                           [cv2.IMWRITE_JPEG2000_COMPRESSION_X1000, 1000])
+    assert ok
+    (tmp_path / "x.jp2").write_bytes(enc.tobytes())
+    assert isinstance(open_wsi(str(tmp_path / "x.jp2")), Jp2NativeReader)
+
+
+def test_jp2_native_reader(tmp_path):
+    """Jp2NativeReader (cv2/OpenJPEG, no glymur): header-only geometry,
+    lossless round-trip, strided pseudo-levels value-identical to the
+    glymur slicing contract, raw .j2k SIZ parse."""
+    import cv2
+
+    from cerberus_tpu.wsi.reader import Jp2NativeReader
+
+    rng = np.random.default_rng(3)
+    plane = rng.integers(0, 255, (300, 400, 3)).astype(np.uint8)
+    ok, enc = cv2.imencode(".jp2", cv2.cvtColor(plane, cv2.COLOR_RGB2BGR),
+                           [cv2.IMWRITE_JPEG2000_COMPRESSION_X1000, 1000])
+    assert ok
+    path = tmp_path / "s.jp2"
+    path.write_bytes(enc.tobytes())
+
+    reader = Jp2NativeReader(str(path), mpp=0.25)
+    # geometry parsed from the ihdr box, no decode yet
+    assert reader._img is None
+    assert reader.info.slide_dimensions == (400, 300)
+    assert reader._level_downsamples == [1.0, 2.0, 4.0, 8.0, 16.0, 32.0]
+    # native-scale read is a lossless round-trip
+    np.testing.assert_array_equal(reader.read_bounds([3, 5, 33, 25], 0.25),
+                                  plane[5:25, 3:33])
+    # scale-4 read = stride-4 slice (the JP2Reader pseudo-level contract)
+    np.testing.assert_array_equal(reader.read_bounds([0, 0, 64, 32], 1.0),
+                                  plane[::4, ::4][:32, :64])
+
+    # raw codestream (.j2k): dimensions come from the SIZ marker
+    data = enc.tobytes()
+    i = data.find(b"jp2c")
+    cs = data[i + 4:]
+    assert cs[:2] == b"\xff\x4f"
+    j2k = tmp_path / "s.j2k"
+    j2k.write_bytes(cs)
+    r2 = Jp2NativeReader(str(j2k), mpp=0.25)
+    assert r2.info.slide_dimensions == (400, 300)
+    # cv2 stores components R,G,B when fed BGR with MCT off (see
+    # tests/test_tiff_reader._j2k_codestream) — the raw codestream decodes
+    # with channels swapped vs the container, so only check shape here
+    assert r2.read_bounds([0, 0, 400, 300], 0.25).shape == plane.shape
