@@ -259,3 +259,26 @@ def test_paired_tower_backward_matches(params):
             np.testing.assert_allclose(
                 np.asarray(gp[pname][leaf]), np.asarray(gu[pname][leaf]),
                 atol=1e-5, rtol=0, err_msg=f"grad {pname}.{leaf}")
+
+
+def test_paired_train_forward_matches_resnet34():
+    """The bench/production backbone (resnet34: 3-block layer1, deeper
+    stages) through the paired training forward at a non-test width (64):
+    guards the pairing against layer-count/width assumptions baked into
+    the resnet18/48² fixtures above."""
+    cfg34 = ModelConfig.from_kwargs(dict(
+        MODEL_KWARGS, encoder_backbone_name="resnet34"))
+    params34 = _tame_heads(init_net_params(jax.random.PRNGKey(1), cfg34))
+    imgs = jnp.asarray(
+        np.random.default_rng(9).integers(0, 255, (2, 64, 64, 3), np.uint8))
+    outs = {}
+    for paired in (False, True):
+        sink = {}
+        outs[paired] = net_forward(
+            params34, imgs, cfg34,
+            train_decoder_list=tuple(cfg34.active_decoders()),
+            bn_sink=sink, paired=paired)
+    for head in outs[False]:
+        np.testing.assert_allclose(
+            np.asarray(outs[True][head]), np.asarray(outs[False][head]),
+            atol=2e-3, rtol=0, err_msg=head)
