@@ -265,3 +265,23 @@ def test_train_state_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(
         np.asarray(p3["backbone.conv1"]["kernel"]),
         np.asarray(state.params["backbone.conv1"]["kernel"]))
+
+
+def test_data_parallel_mesh_train_step_paired():
+    """--paired on the mesh: the width-paired training forward+backward
+    composes with batch sharding (per-device microbatch width still
+    satisfies W % 4 == 0 since pairing is a width-axis lowering, not a
+    batch-axis one)."""
+    import conftest
+
+    from cerberus_tpu.parallel.mesh import make_mesh, make_sharded_train_step
+
+    mesh = make_mesh(conftest.cpu_mesh_devices())
+    run, init_state, _tx = make_sharded_train_step(CFG, mesh, LOSS_KWARGS,
+                                                   paired=True)
+    params = init_net_params(jax.random.PRNGKey(0), CFG)
+    state = init_state(params)
+    batch = _make_batch(np.random.default_rng(3), n=8)
+    new_state, metrics = run(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["overall_loss"]))
+    assert int(new_state.step) == 1
