@@ -69,6 +69,11 @@ def _watchdog(seconds: int = 480) -> None:
 
 
 def main() -> None:
+    # persist the train-step executables (the heaviest programs in the
+    # repo, minutes to compile over a degraded tunnel) across invocations
+    from cerberus_tpu.infer.manager import _enable_compilation_cache
+
+    _enable_compilation_cache()
     wd = 480
     for arg in sys.argv[1:]:
         if arg.startswith("--watchdog="):
