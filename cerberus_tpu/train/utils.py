@@ -19,6 +19,48 @@ import jax
 from ..models.convert import strip_data_parallel_prefix  # noqa: F401  (re-export)
 
 
+def tame_head_logits(params: Dict, factor: float = 0.05,
+                     inst_only: bool = False,
+                     zero_bias: bool = False) -> Dict:
+    """Scale the final head convs so RANDOM-INIT logits are O(1).
+
+    Random-init head logits are O(±40): softmax saturates to exact 0/1,
+    CE gradients jump discretely when reassociation-level activation
+    noise flips saturation-boundary pixels, and inference canvases lose
+    all spatial structure. Demos, dryruns, and numerics tests on
+    untrained params use this to keep the loss smooth / let instances
+    form; trained checkpoints never need it.
+
+    ``inst_only`` restricts to the three *-INST segmentation heads (and
+    can zero their biases via ``zero_bias``) — the variant the multichip
+    dryrun uses so instance maps form downstream.
+    """
+    params = {k: dict(v) for k, v in params.items()}
+    hits = 0
+    for name, leaf in params.items():
+        if inst_only:
+            hit = name.endswith(".INST.x.1.conv") and \
+                name.startswith("output_head.")
+        else:
+            hit = (name.endswith(".x.1.conv")
+                   and name.startswith("output_head.")) or \
+                name == "decoder_head.Patch-Class.conv2"
+        if not hit:
+            continue
+        hits += 1
+        leaf = dict(leaf)
+        leaf["kernel"] = leaf["kernel"] * factor
+        if zero_bias:
+            leaf["bias"] = np.zeros_like(leaf["bias"])
+        params[name] = leaf
+    if not hits:
+        # fail loudly: a head-naming change must not silently leave the
+        # logits untamed (callers rely on the smoothing for tolerances)
+        raise ValueError("tame_head_logits matched no head conv params — "
+                         "did the output_head naming change?")
+    return params
+
+
 def check_manual_seed(seed: int):
     """Seed python/numpy and return the JAX PRNG key — the functional
     analog of the reference's random+numpy+torch(+cuda) seeding."""

@@ -23,6 +23,10 @@ def parse_defaults(doc: str) -> dict:
     current = None
     for line in doc.splitlines():
         stripped = line.strip()
+        if not stripped:
+            # blank lines inside an Options block don't end the current
+            # option's description (real docopt scans the whole block)
+            continue
         match = re.match(r"(--[A-Za-z0-9_\-]+)(?:=<[^>]*>)?\s{2,}", stripped)
         if not match:
             # options with no trailing description double-space
@@ -33,9 +37,12 @@ def parse_defaults(doc: str) -> dict:
             defaults[current] = (default_match.group(1)
                                  if default_match else None)
             continue
-        # continuation line of the current option's description: indented,
-        # not a usage line (those start with the program name or '[')
-        if current and line.startswith(" ") and not stripped.startswith("["):
+        # continuation line of the current option's description: any
+        # indented non-option line, including one whose wrap point lands
+        # the '[default: ...]' at the start of the line (usage lines can
+        # also start with '[' but never contain a default annotation, so
+        # scanning them for one is harmless)
+        if current and line.startswith(" "):
             default_match = re.search(r"\[default:\s*(.*?)\]", stripped)
             if default_match and defaults.get(current) is None:
                 defaults[current] = default_match.group(1)

@@ -354,24 +354,49 @@ class Jp2NativeReader(WSIReader):
 
     @staticmethod
     def _parse_dimensions(path: str) -> tuple:
-        """(w, h) from the JP2 'ihdr' box or raw-codestream SIZ marker."""
+        """(w, h) from the JP2 'ihdr' box or raw-codestream SIZ marker.
+
+        Full ISO 15444-1 box walk: seeks box-to-box (no fixed head-buffer
+        cap, so e.g. a multi-KB scanner xml/uuid box before jp2h is fine)
+        and honors the two special LBox encodings — 1 = 64-bit XLBox
+        length follows the type, 0 = box extends to end of file."""
         import struct
 
+        fsize = os.path.getsize(path)
         with open(path, "rb") as f:
-            head = f.read(4096)
-        if head[:4] == b"\xff\x4f\xff\x51":      # SOC + SIZ (raw codestream)
-            # SOC(2) SIZ(2) Lsiz(2) Rsiz(2) then Xsiz Ysiz XOsiz YOsiz
-            xs, ys, xo, yo = struct.unpack(">4I", head[8:24])
-            return xs - xo, ys - yo
-        pos = 0
-        while pos + 8 <= len(head):              # JP2 box walk (top + jp2h)
-            length, btype = struct.unpack(">I4s", head[pos:pos + 8])
-            if btype == b"ihdr":
-                h, w = struct.unpack(">2I", head[pos + 8:pos + 16])
-                return w, h
-            # descend into the jp2h superbox; skip other boxes
-            pos += 8 if btype == b"jp2h" else max(int(length), 8)
-        raise ValueError(f"{path}: no JP2 ihdr box / J2K SIZ marker found")
+            sig = f.read(4)
+            if sig == b"\xff\x4f\xff\x51":   # SOC + SIZ (raw codestream)
+                # SOC(2) SIZ(2) Lsiz(2) Rsiz(2) then Xsiz Ysiz XOsiz YOsiz
+                head = sig + f.read(20)
+                xs, ys, xo, yo = struct.unpack(">4I", head[8:24])
+                return xs - xo, ys - yo
+            pos = 0
+            while pos + 8 <= fsize:          # JP2 box walk (top + jp2h)
+                f.seek(pos)
+                hdr = f.read(8)
+                if len(hdr) < 8:
+                    break
+                length, btype = struct.unpack(">I4s", hdr)
+                hdr_len = 8
+                if length == 1:              # XLBox: 64-bit length follows
+                    ext = f.read(8)
+                    if len(ext) < 8:
+                        break
+                    (length,) = struct.unpack(">Q", ext)
+                    hdr_len = 16
+                elif length == 0:            # box extends to end of file
+                    length = fsize - pos
+                if btype == b"ihdr":
+                    h, w = struct.unpack(">2I", f.read(8))
+                    return w, h
+                if btype == b"jp2h":         # descend into the superbox
+                    pos += hdr_len
+                    continue
+                if length < hdr_len:         # corrupt length: stop walking
+                    break
+                pos += length
+        raise ValueError(f"{path}: no JP2 ihdr box / J2K SIZ marker found "
+                         "(not a decodable JPEG2000 file?)")
 
     def _decoded(self) -> np.ndarray:
         if self._img is None:

@@ -75,8 +75,13 @@ class _IFD:
         return self.tags.get(name, default)
 
 
-def _read_values(handle, endian, vtype, count, raw):
-    """Decode an IFD entry's values from its inline bytes or offset."""
+def _read_values(handle, endian, vtype, count, raw, unwrap=None):
+    """Decode an IFD entry's values from its inline bytes or offset.
+
+    ``unwrap`` (optional) maps a stored out-of-line value offset to its
+    true file offset — the NDPI >4 GB 32-bit-modulo fixup; classic-TIFF
+    value-offset fields are 32-bit, so on a >4 GB NDPI they wrap exactly
+    like strip offsets do."""
     size = _TYPE_SIZES.get(vtype)
     if size is None:
         return None
@@ -84,6 +89,8 @@ def _read_values(handle, endian, vtype, count, raw):
     if total > len(raw):
         (offset,) = struct.unpack(endian + ("Q" if len(raw) == 8 else "I"),
                                   raw[:8 if len(raw) == 8 else 4])
+        if unwrap is not None:
+            offset = unwrap(offset)
         handle.seek(offset)
         data = handle.read(total)
     else:
@@ -104,9 +111,75 @@ def _read_values(handle, endian, vtype, count, raw):
     return list(vals) if count > 1 else vals[0]
 
 
+def _plausible_ifd(handle, endian, pos, big, file_size) -> bool:
+    """Whether ``pos`` plausibly points at an IFD: in-file, sane entry
+    count, and the first few entries carry valid field types with
+    ascending tags (TIFF6 requires sorted tags). Used to pick the right
+    ``offset + k*2^32`` candidate when unwrapping NDPI's wrapped next-IFD
+    pointers — a wrong candidate lands in JPEG data, which fails these
+    checks with overwhelming probability."""
+    if not 0 <= pos < file_size:
+        return False
+    try:
+        handle.seek(pos)
+        if big:
+            raw = handle.read(8)
+            if len(raw) < 8:
+                return False
+            (n,) = struct.unpack(endian + "Q", raw)
+            esize = 20
+        else:
+            raw = handle.read(2)
+            if len(raw) < 2:
+                return False
+            (n,) = struct.unpack(endian + "H", raw)
+            esize = 12
+        if not 1 <= n <= 4096:
+            return False
+        check = min(int(n), 8)
+        raw = handle.read(esize * check)
+        if len(raw) < esize * check:
+            return False
+        prev_tag = -1
+        for i in range(check):
+            tag, vtype = struct.unpack_from(endian + "HH", raw, i * esize)
+            if not 1 <= vtype <= 18 or tag < prev_tag:
+                return False
+            prev_tag = tag
+        return True
+    except (OSError, struct.error):
+        return False
+
+
+def _resolve_ifd_offset(handle, endian, stored, prev_pos, big,
+                        file_size) -> int:
+    """Resolve a next-IFD pointer, unwrapping NDPI's 32-bit-modulo fields.
+
+    The only classic-TIFF containers past 4 GB in the wild are Hamamatsu
+    NDPI, which keeps 32-bit offset fields storing the true offset modulo
+    2^32. NDPI appends IFDs in file order, so of the in-file candidates
+    ``stored + k*2^32`` prefer the first AT/AFTER the current parse
+    position that actually looks like an IFD (_plausible_ifd); fall back
+    to any plausible candidate, then the raw value."""
+    if stored == 0 or big or file_size <= 0xFFFFFFFF:
+        return stored
+    G = 0x100000000
+    cands = [stored + k * G for k in range(file_size // G + 1)
+             if stored + k * G < file_size]
+    forward = [c for c in cands if c >= prev_pos]
+    backward = [c for c in cands if c < prev_pos][::-1]
+    for cand in forward + backward:
+        if _plausible_ifd(handle, endian, cand, big, file_size):
+            return cand
+    return stored
+
+
 def _parse_tiff(path: str) -> Tuple[List[_IFD], str]:
     """Parse every IFD; returns (ifds, endian)."""
+    import os
+
     ifds: List[_IFD] = []
+    file_size = os.path.getsize(path)
     with open(path, "rb") as handle:
         header = handle.read(8)
         if header[:2] == b"II":
@@ -127,6 +200,13 @@ def _parse_tiff(path: str) -> Tuple[List[_IFD], str]:
 
         entry_fmt = (endian + "HHQ", 20, "Q", 8) if big \
             else (endian + "HHI", 12, "I", 4)
+        # NDPI >4 GB: the header/next-IFD pointers and out-of-line value
+        # offsets are 32-bit-wrapped just like strip offsets; resolve the
+        # chain with candidate validation and unwrap value offsets against
+        # the (already-resolved) IFD position
+        wrapped = (not big) and file_size > 0xFFFFFFFF
+        next_ifd = _resolve_ifd_offset(handle, endian, next_ifd, 8, big,
+                                       file_size)
         while next_ifd:
             handle.seek(next_ifd)
             if big:
@@ -138,6 +218,11 @@ def _parse_tiff(path: str) -> Tuple[List[_IFD], str]:
             # file position of this IFD: the anchor for NDPI's >4 GB
             # 32-bit-offset unwrap (_unwrap_ndpi_offset)
             ifd.tags["ifd_pos"] = next_ifd
+            unwrap = None
+            if wrapped:
+                anchor = next_ifd
+                unwrap = (lambda o, a=anchor:
+                          _unwrap_ndpi_offset(o, a, file_size))
             for i in range(n_entries):
                 raw = entries[i * entry_fmt[1]:(i + 1) * entry_fmt[1]]
                 tag, vtype, count = struct.unpack(entry_fmt[0], raw[:entry_fmt[1] - entry_fmt[3]])
@@ -146,11 +231,15 @@ def _parse_tiff(path: str) -> Tuple[List[_IFD], str]:
                     continue
                 pos = handle.tell()
                 ifd.tags[name] = _read_values(
-                    handle, endian, vtype, count, raw[entry_fmt[1] - entry_fmt[3]:])
+                    handle, endian, vtype, count,
+                    raw[entry_fmt[1] - entry_fmt[3]:], unwrap=unwrap)
                 handle.seek(pos)
             ifds.append(ifd)
+            after_entries = handle.tell() + entry_fmt[3]
             (next_ifd,) = struct.unpack(endian + entry_fmt[2],
                                         handle.read(entry_fmt[3]))
+            next_ifd = _resolve_ifd_offset(handle, endian, next_ifd,
+                                           after_entries, big, file_size)
     return ifds, endian
 
 
@@ -283,6 +372,18 @@ class TiffSlideReader(WSIReader):
             self._levels.append(ifd)
         self._levels.sort(key=lambda i: -int(i.width))
         self._level_downsamples = [bw / int(l.width) for l in self._levels]
+        # NDPI >4 GB: unwrap each level's wrapped 32-bit strip/tile data
+        # offsets ONCE here (anchored to the level's IFD position), not
+        # per tile decode — a multi-strip level would otherwise redo the
+        # full O(strips) unwrap on every cache-miss read
+        if self._ndpi and self._file_size > 0xFFFFFFFF:
+            for ifd in self._levels:
+                anchor = int(ifd.get("ifd_pos", 0))
+                for key in ("strip_offsets", "tile_offsets"):
+                    if key in ifd.tags:
+                        ifd.tags[key] = [
+                            _unwrap_ndpi_offset(o, anchor, self._file_size)
+                            for o in _as_list(ifd.tags[key])]
         # fail at OPEN time on codecs we can't decode (not at first read,
         # after a caller has already committed to this reader): lets
         # open_wsi's plain-tiff fallback actually trigger for e.g. PackBits
@@ -331,10 +432,6 @@ class TiffSlideReader(WSIReader):
         tiled = "tile_offsets" in ifd.tags
         offsets = _as_list(ifd.tile_offsets if tiled else ifd.strip_offsets)
         counts = _as_list(ifd.tile_counts if tiled else ifd.strip_counts)
-        if self._ndpi:
-            anchor = int(ifd.get("ifd_pos", 0))
-            offsets = [_unwrap_ndpi_offset(o, anchor, self._file_size)
-                       for o in offsets]
         with open(self.path, "rb") as handle:
             handle.seek(offsets[idx])
             data = handle.read(counts[idx])

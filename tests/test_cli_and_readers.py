@@ -100,3 +100,34 @@ def test_open_wsi_svs_without_openslide(tmp_path):
     fake.write_bytes(b"II*\x00")
     with pytest.raises((ValueError, struct.error)):
         open_wsi(str(fake))
+
+
+def test_parse_defaults_wrapped_bracket_and_blank_lines():
+    """A [default: ...] landing at the START of a wrapped continuation
+    line, or separated from its option by a blank line, must still be
+    found (real docopt scans the whole description block) — a dropped
+    default turns int(args[flag]) into a TypeError crash."""
+    from cerberus_tpu.utils.cli import parse_defaults
+
+    doc = """Usage:
+    prog.py [--grad_accum=<n>] [--lr=<x>] [--tag=<s>]
+
+Options:
+    --grad_accum=<n>  Accumulate gradients over n microbatches.
+                      [default: 1]
+    --lr=<x>    Learning rate,
+                with a wrapped description line before the default
+                [default: 0.001]
+    --tag=<s>   A description whose default follows a blank line.
+
+                [default: base]
+"""
+    d = parse_defaults(doc)
+    assert d["--grad_accum"] == "1"
+    assert d["--lr"] == "0.001"
+    assert d["--tag"] == "base"
+    # end-to-end through docopt: the value flag keeps its default (and is
+    # not reclassified as a False boolean)
+    args = docopt(doc, argv=[])
+    assert int(args["--grad_accum"]) == 1
+    assert float(args["--lr"]) == 0.001

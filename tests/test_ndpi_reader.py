@@ -214,3 +214,36 @@ def test_ndpi_through_wsi_pipeline(tmp_path):
     np.testing.assert_array_equal(dat["proc_dimensions"], [600, 700])
     for inst in dat["Nuclei"].values():
         assert inst["centroid"][0] <= 370  # masked left half + margin
+
+
+def test_ndpi_over_4gb_parse_and_read(tmp_path, ndpi_arrays):
+    """>4 GB NDPI end-to-end: shifting the whole body by EXACTLY 2^32
+    leaves every stored 32-bit offset equal to (true offset mod 2^32) —
+    the real wrapped-container encoding — so the header IFD0 pointer, the
+    next-IFD chain, out-of-line tag values (xres rational, bits) and strip
+    offsets ALL need the unwrap at parse/read time. The hole is sparse, so
+    the fixture costs ~100 KB of disk."""
+    lv0, lv1, macro = ndpi_arrays
+    small = tmp_path / "small.ndpi"
+    _write_ndpi(str(small), [lv0, lv1, macro], [40.0, 10.0, -1.0], mpp=0.44)
+    data = small.read_bytes()
+    big = tmp_path / "big.ndpi"
+    try:
+        with open(big, "wb") as f:
+            f.write(data[:8])   # header (II, 42, wrapped IFD0 pointer)
+            f.seek(1 << 32)
+            f.write(data)       # body shifted by 2^32 (dup header harmless)
+    except OSError:
+        pytest.skip("filesystem cannot hold a 4 GB sparse file")
+    if os.stat(big).st_blocks * 512 > 64 * 1024 * 1024:
+        big.unlink()
+        pytest.skip("filesystem does not store sparse files sparsely")
+
+    r = TiffSlideReader(str(big))
+    assert r._level_downsamples == [1.0, 2.0]
+    assert r.info.objective_power == 40.0
+    assert abs(r.info.mpp - 0.44) < 1e-3
+    got = r.read_bounds([0, 0, 128, 128], resolution=0.44, units="mpp")
+    ref = TiffSlideReader(str(small)).read_bounds(
+        [0, 0, 128, 128], resolution=0.44, units="mpp")
+    np.testing.assert_array_equal(got, ref)

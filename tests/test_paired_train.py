@@ -22,57 +22,14 @@ from cerberus_tpu.train.steps import (
     multitask_loss,
 )
 
-MODEL_KWARGS = {
-    "encoder_backbone_name": "resnet18",
-    "decoder_kwargs": DEFAULT_DECODER_KWARGS,
-    "considered_tasks": list(DEFAULT_DECODER_KWARGS.keys()),
-}
-CFG = ModelConfig.from_kwargs(MODEL_KWARGS)
+from tests._train_helpers import (  # noqa: E402  (shared fixtures)
+    CFG,
+    LOSS_KWARGS,
+    MODEL_KWARGS,
+    _make_batch,
+    _tame_heads,
+)
 
-LOSS_KWARGS = {
-    "loss_info": {
-        "Lumen-INST": {"weight": 1.5, "loss": {"ce": 1}},
-        "Gland-INST": {"weight": 1.4, "loss": {"ce": 1}},
-        "Nuclei-INST": {"weight": 1, "loss": {"ce": 1}},
-        "Nuclei-TYPE": {"weight": 0, "loss": {"ce": 1, "dice": 1}},
-        "Gland-TYPE": {"weight": 1, "loss": {"ce": 1, "dice": 1}},
-        "Patch-Class": {"weight": 0.4, "loss": {"ce": 1}},
-    },
-}
-
-
-def _make_batch(rng, n=2, hw=48):
-    heads = head_order(CFG)
-    batch = {
-        "img": rng.integers(0, 255, (n, hw, hw, 3)).astype(np.uint8),
-        "has_target": np.ones((n, len(heads)), np.float32),
-    }
-    ch = {"Lumen-INST": 3, "Gland-INST": 3, "Nuclei-INST": 3,
-          "Nuclei-TYPE": 7, "Gland-TYPE": 3}
-    for head, n_cls in ch.items():
-        batch[head] = rng.integers(0, n_cls, (n, hw, hw, 1)).astype(np.int32)
-        if head.endswith("-INST"):
-            batch[head + "#WEIGHT-MAP"] = np.ones((n, hw, hw, 1), np.float32)
-    batch["Patch-Class"] = rng.integers(0, 9, (n, 1, 1, 1)).astype(np.int32)
-    return batch
-
-
-
-
-def _tame_heads(params):
-    """Scale the final head convs so logits are O(1): random-init logits
-    are O(+-40), softmax saturates, and CE gradients then jump discretely
-    when reassociation-level activation noise flips saturation-boundary
-    pixels — making grad comparisons ill-conditioned. Tamed heads keep the
-    loss smooth so tolerances can be tight."""
-    params = {k: dict(v) for k, v in params.items()}
-    for name, leaf in params.items():
-        if (name.endswith(".x.1.conv") and name.startswith("output_head."))\
-                or name == "decoder_head.Patch-Class.conv2":
-            leaf = dict(leaf)
-            leaf["kernel"] = leaf["kernel"] * 0.05
-            params[name] = leaf
-    return params
 
 @pytest.fixture(scope="module")
 def params():

@@ -207,3 +207,39 @@ def test_jp2_native_reader(tmp_path):
     # tests/test_tiff_reader._j2k_codestream) — the raw codestream decodes
     # with channels swapped vs the container, so only check shape here
     assert r2.read_bounds([0, 0, 400, 300], 0.25).shape == plane.shape
+
+
+def test_jp2_native_box_walk_robustness(tmp_path):
+    """_parse_dimensions must survive real-world box layouts: a multi-KB
+    metadata (uuid) box BEFORE jp2h, and the 64-bit XLBox length encoding
+    (LBox == 1) — both desynced the old fixed-4096-byte walk."""
+    import struct as _struct
+
+    import cv2
+
+    from cerberus_tpu.wsi.reader import Jp2NativeReader
+
+    rng = np.random.default_rng(5)
+    plane = rng.integers(0, 255, (60, 80, 3)).astype(np.uint8)
+    ok, enc = cv2.imencode(".jp2", cv2.cvtColor(plane, cv2.COLOR_RGB2BGR),
+                           [cv2.IMWRITE_JPEG2000_COMPRESSION_X1000, 1000])
+    assert ok
+    data = enc.tobytes()
+    # find the end of the ftyp box (signature box is first, ftyp second)
+    (sig_len,) = _struct.unpack(">I", data[0:4])
+    (ftyp_len,) = _struct.unpack(">I", data[sig_len:sig_len + 4])
+    cut = sig_len + ftyp_len
+
+    # (a) an 8 KB uuid metadata box before jp2h (scanner XMP et al.)
+    payload = b"\0" * 8192
+    uuid_box = _struct.pack(">I4s", 8 + len(payload), b"uuid") + payload
+    p = tmp_path / "meta.jp2"
+    p.write_bytes(data[:cut] + uuid_box + data[cut:])
+    assert Jp2NativeReader(str(p), mpp=0.25).info.slide_dimensions == (80, 60)
+
+    # (b) the same box in XLBox encoding: LBox == 1, 64-bit length follows
+    xl_box = (_struct.pack(">I4s", 1, b"uuid")
+              + _struct.pack(">Q", 16 + len(payload)) + payload)
+    p2 = tmp_path / "xlbox.jp2"
+    p2.write_bytes(data[:cut] + xl_box + data[cut:])
+    assert Jp2NativeReader(str(p2), mpp=0.25).info.slide_dimensions == (80, 60)
