@@ -21,18 +21,30 @@ def parse_defaults(doc: str) -> dict:
     default is found on its last wrapped line."""
     defaults = {}
     current = None
+    current_indent = 0
     for line in doc.splitlines():
         stripped = line.strip()
         if not stripped:
             # blank lines inside an Options block don't end the current
-            # option's description (real docopt scans the whole block)
+            # option's description (more lenient than real docopt, which
+            # stops the options section at a blank line; lenience can only
+            # FIND a default, never misplace one)
             continue
-        match = re.match(r"(--[A-Za-z0-9_\-]+)(?:=<[^>]*>)?\s{2,}", stripped)
+        indent = len(line) - len(line.lstrip())
+        match = re.match(r"(--[A-Za-z0-9_\-]+)(?:=<[^>]*>)?(?:\s{2,}|$)",
+                         stripped)
         if not match:
-            # options with no trailing description double-space
+            # options with no trailing description double-space — but a
+            # single-space match DEEPER-indented than the current option's
+            # own line is a wrapped description line that happens to start
+            # with '--word ', not a new option: keep scanning it for the
+            # current flag's [default: ...] instead of hijacking it
             match = re.match(r"(--[A-Za-z0-9_\-]+)(?:=<[^>]*>)?\s", stripped)
+            if match and current is not None and indent > current_indent:
+                match = None
         if match:
             current = match.group(1)
+            current_indent = indent
             default_match = re.search(r"\[default:\s*(.*?)\]", stripped)
             defaults[current] = (default_match.group(1)
                                  if default_match else None)

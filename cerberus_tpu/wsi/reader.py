@@ -310,16 +310,21 @@ class JP2Reader(WSIReader):
         self._level_downsamples = [float(2 ** k)
                                    for k in range(self.N_PSEUDO_LEVELS)]
 
+    def _plane(self):
+        """The sliceable full-resolution pixel source (glymur decodes the
+        requested window lazily from the codestream)."""
+        return self._jp2
+
     def _read_level(self, lvl, x0, y0, x1, y1):
         s = int(self._level_downsamples[lvl])
-        region = self._jp2[y0 * s:y1 * s:s, x0 * s:x1 * s:s]
+        region = self._plane()[y0 * s:y1 * s:s, x0 * s:x1 * s:s]
         return _to_rgb_u8(np.asarray(region))
 
     def _read_level_strided(self, lvl, x0, y0, x1, y1, stride):
         # the extra stride folds into the pseudo-level step
         ds = int(self._level_downsamples[lvl])
-        region = self._jp2[y0 * ds:y1 * ds:ds * stride,
-                           x0 * ds:x1 * ds:ds * stride]
+        region = self._plane()[y0 * ds:y1 * ds:ds * stride,
+                               x0 * ds:x1 * ds:ds * stride]
         return _to_rgb_u8(np.asarray(region))
 
 
@@ -334,8 +339,11 @@ class Jp2NativeReader(WSIReader):
     view (identical values to the glymur reader's ``jp2[::s]`` slicing).
     Geometry (``info``) is parsed from the JP2 ihdr box / J2K SIZ marker
     without decoding, so opening stays cheap.  Memory = one full-res RGB
-    frame; fine for the CRC-cohort-scale .jp2 inputs the reference targets,
-    documented trade-off vs glymur's windowed decode.
+    frame, and cv2.imdecode refuses images past its pixel cap
+    (OPENCV_IO_MAX_IMAGE_PIXELS, default 2^30) — both checked at OPEN
+    time so oversized slides fail fast with a workaround message instead
+    of mid-pipeline at the first tile read. Documented trade-off vs
+    glymur's windowed decode.
     """
 
     N_PSEUDO_LEVELS = JP2Reader.N_PSEUDO_LEVELS
@@ -345,6 +353,18 @@ class Jp2NativeReader(WSIReader):
         self._path = path
         self._img: Optional[np.ndarray] = None
         w, h = self._parse_dimensions(path)
+        try:
+            cap = int(os.environ.get("OPENCV_IO_MAX_IMAGE_PIXELS",
+                                     1 << 30))
+        except ValueError:
+            cap = 1 << 30
+        if w * h > cap:
+            raise RuntimeError(
+                f"{path}: {w}x{h} exceeds cv2.imdecode's pixel cap "
+                f"({cap}); the native .jp2 path decodes the whole frame. "
+                "Install glymur for windowed decode, convert the slide to "
+                "an .npy pyramid (wsi/reader.NpyPyramidReader), or raise "
+                "OPENCV_IO_MAX_IMAGE_PIXELS if RAM allows")
         if mpp is None:
             mpp = 0.275  # reference fallback (misc/wsi_handler.py:213-218)
         self.info = SlideInfo(mpp=float(mpp), slide_dimensions=(w, h),
@@ -398,7 +418,9 @@ class Jp2NativeReader(WSIReader):
         raise ValueError(f"{path}: no JP2 ihdr box / J2K SIZ marker found "
                          "(not a decodable JPEG2000 file?)")
 
-    def _decoded(self) -> np.ndarray:
+    def _plane(self) -> np.ndarray:
+        """The sliceable full-resolution pixel source (decode-once cache
+        — same slicing contract as JP2Reader._plane)."""
         if self._img is None:
             import cv2
 
@@ -411,16 +433,10 @@ class Jp2NativeReader(WSIReader):
             self._img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
         return self._img
 
-    def _read_level(self, lvl, x0, y0, x1, y1):
-        s = int(self._level_downsamples[lvl])
-        img = self._decoded()
-        return _to_rgb_u8(img[y0 * s:y1 * s:s, x0 * s:x1 * s:s])
-
-    def _read_level_strided(self, lvl, x0, y0, x1, y1, stride):
-        ds = int(self._level_downsamples[lvl])
-        img = self._decoded()
-        return _to_rgb_u8(img[y0 * ds:y1 * ds:ds * stride,
-                              x0 * ds:x1 * ds:ds * stride])
+    # pseudo-level slicing is shared with the glymur reader — only the
+    # pixel source differs (_plane)
+    _read_level = JP2Reader._read_level
+    _read_level_strided = JP2Reader._read_level_strided
 
 
 def open_wsi(path: str, mpp: Optional[float] = None) -> WSIReader:

@@ -28,6 +28,7 @@ so window reads are O(window), independent of slide size. Plugs into the
 """
 from __future__ import annotations
 
+import os
 import re
 import struct
 import zlib
@@ -51,7 +52,8 @@ _TAGS = {
     # 65420 marks the format, 65421 is the per-IFD source lens — the
     # objective magnification for pyramid levels, -1 for the macro image
     # and -2 for the map image
-    65420: "ndpi_version", 65421: "source_lens",
+    # 65422 is the per-IFD focal-plane Z offset (nm) in z-stacked scans
+    65420: "ndpi_version", 65421: "source_lens", 65422: "z_offset",
 }
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
                10: 8, 11: 4, 12: 8, 16: 8, 17: 8, 18: 8}
@@ -176,8 +178,6 @@ def _resolve_ifd_offset(handle, endian, stored, prev_pos, big,
 
 def _parse_tiff(path: str) -> Tuple[List[_IFD], str]:
     """Parse every IFD; returns (ifds, endian)."""
-    import os
-
     ifds: List[_IFD] = []
     file_size = os.path.getsize(path)
     with open(path, "rb") as handle:
@@ -201,10 +201,16 @@ def _parse_tiff(path: str) -> Tuple[List[_IFD], str]:
         entry_fmt = (endian + "HHQ", 20, "Q", 8) if big \
             else (endian + "HHI", 12, "I", 4)
         # NDPI >4 GB: the header/next-IFD pointers and out-of-line value
-        # offsets are 32-bit-wrapped just like strip offsets; resolve the
-        # chain with candidate validation and unwrap value offsets against
-        # the (already-resolved) IFD position
+        # offsets are 32-bit-wrapped just like strip offsets. A LEGIT
+        # classic TIFF can also exceed 4 GB (all offsets < 2^32, only
+        # trailing data past the boundary) and its offsets must NOT be
+        # relocated — so the unwrap is gated on actually seeing the NDPI
+        # marker tag (65420), detected from the raw entry tags before any
+        # value decode. The header IFD0 pointer is resolved by plausibility
+        # alone (we cannot know ndpi-ness before reading IFD0; a valid
+        # stored pointer always wins because it IS a plausible IFD).
         wrapped = (not big) and file_size > 0xFFFFFFFF
+        is_ndpi = False
         next_ifd = _resolve_ifd_offset(handle, endian, next_ifd, 8, big,
                                        file_size)
         while next_ifd:
@@ -218,8 +224,15 @@ def _parse_tiff(path: str) -> Tuple[List[_IFD], str]:
             # file position of this IFD: the anchor for NDPI's >4 GB
             # 32-bit-offset unwrap (_unwrap_ndpi_offset)
             ifd.tags["ifd_pos"] = next_ifd
+            if wrapped and not is_ndpi:
+                for i in range(n_entries):
+                    (tag,) = struct.unpack_from(
+                        endian + "H", entries, i * entry_fmt[1])
+                    if tag == 65420:
+                        is_ndpi = True
+                        break
             unwrap = None
-            if wrapped:
+            if wrapped and is_ndpi:
                 anchor = next_ifd
                 unwrap = (lambda o, a=anchor:
                           _unwrap_ndpi_offset(o, a, file_size))
@@ -238,8 +251,13 @@ def _parse_tiff(path: str) -> Tuple[List[_IFD], str]:
             after_entries = handle.tell() + entry_fmt[3]
             (next_ifd,) = struct.unpack(endian + entry_fmt[2],
                                         handle.read(entry_fmt[3]))
-            next_ifd = _resolve_ifd_offset(handle, endian, next_ifd,
-                                           after_entries, big, file_size)
+            # mid-chain candidate search only for confirmed NDPI: a legit
+            # >4 GB classic TIFF's next-IFD pointer is already correct
+            # (and may legally point BACKWARD, which the forward-first
+            # search would misresolve)
+            if is_ndpi:
+                next_ifd = _resolve_ifd_offset(handle, endian, next_ifd,
+                                               after_entries, big, file_size)
     return ifds, endian
 
 
@@ -264,6 +282,12 @@ def _unwrap_ndpi_offset(offset: int, anchor: int, file_size: int) -> int:
 
 def _as_list(v) -> List[int]:
     return [v] if isinstance(v, int) else list(v)
+
+
+def _z_offset(ifd: _IFD) -> float:
+    """The NDPI focal-plane Z offset (tag 65422), 0 when absent/in-focus."""
+    v = ifd.get("z_offset", 0) or 0
+    return float(v[0] if isinstance(v, list) else v)
 
 
 def _lzw_decode(data: bytes) -> bytes:
@@ -351,9 +375,18 @@ class TiffSlideReader(WSIReader):
         # the IFDs with a positive source lens (65421) — the macro (-1)
         # and map (-2) images are skipped by tag, not by aspect
         self._ndpi = "ndpi_version" in base.tags
-        import os as _os
-
-        self._file_size = _os.path.getsize(path)
+        self._file_size = os.path.getsize(path)
+        # NDPI z-stacks: each magnification repeats once per focal plane
+        # (identical dimensions, differing ZOffset tag 65422). Keep only
+        # the in-focus z=0 plane — OpenSlide's level set — otherwise every
+        # plane passes the filters below and the pyramid holds duplicate
+        # levels from arbitrary focal planes.
+        if self._ndpi and any(_z_offset(i) for i in ifds):
+            in_focus = [i for i in ifds if _z_offset(i) == 0]
+            if in_focus:  # all-nonzero z would otherwise drop every level
+                ifds = in_focus
+                base = ifds[0]
+                bw, bh = int(base.width), int(base.height)
         # pyramid levels: aspect must match the baseline (Aperio label /
         # macro images have different aspect); keep descending sizes
         self._levels: List[_IFD] = [base]

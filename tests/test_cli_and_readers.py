@@ -131,3 +131,22 @@ Options:
     args = docopt(doc, argv=[])
     assert int(args["--grad_accum"]) == 1
     assert float(args["--lr"]) == 0.001
+
+
+def test_parse_defaults_continuation_line_starting_with_dashes():
+    """A wrapped description line that happens to START with '--word '
+    (single space, deeper indent) is a continuation, not a new option —
+    the [default: ...] below it still belongs to the real flag."""
+    from cerberus_tpu.utils.cli import parse_defaults
+
+    doc = """Usage:
+    prog.py [--lr=<x>]
+
+Options:
+    --lr=<x>  Learning rate for the
+              --bf16 path variant
+              [default: 0.001]
+"""
+    d = parse_defaults(doc)
+    assert d["--lr"] == "0.001"
+    assert "--bf16" not in d

@@ -18,9 +18,13 @@ import pytest
 from cerberus_tpu.wsi.tiff_reader import TiffSlideReader, _unwrap_ndpi_offset
 
 
-def _write_ndpi(path, images, lenses, mpp=0.5):
+def _write_ndpi(path, images, lenses, mpp=0.5, z_offsets=None):
     """NDPI-style writer: little-endian classic TIFF, one single-strip
-    JPEG IFD per image, SourceLens/marker private tags, resolution in cm."""
+    JPEG IFD per image, SourceLens/marker private tags, resolution in cm.
+    ``z_offsets``: optional per-image focal-plane offsets (tag 65422,
+    SLONG, nm); None entries omit the tag (the macro has no z)."""
+    if z_offsets is None:
+        z_offsets = [None] * len(images)
     out = bytearray(b"II" + struct.pack("<HI", 42, 0))
 
     def pad():
@@ -29,7 +33,7 @@ def _write_ndpi(path, images, lenses, mpp=0.5):
 
     xres_cm = 10000.0 / mpp  # px per cm
     ifd_offsets = []
-    for img, lens in zip(images, lenses):
+    for img, lens, z_off in zip(images, lenses, z_offsets):
         h, w = img.shape[:2]
         ok, enc = cv2.imencode(".jpg", cv2.cvtColor(img, cv2.COLOR_RGB2BGR),
                                [cv2.IMWRITE_JPEG_QUALITY, 95])
@@ -54,6 +58,8 @@ def _write_ndpi(path, images, lenses, mpp=0.5):
             (65420, 4, 1, struct.pack("<I", 1)),      # NDPI marker
             (65421, 11, 1, struct.pack("<f", lens)),  # SourceLens (float)
         ]
+        if z_off is not None:
+            entries.append((65422, 9, 1, struct.pack("<i", z_off)))
         entries.sort()
         # out-of-line values (> 4 bytes)
         blob_at = {}
@@ -247,3 +253,28 @@ def test_ndpi_over_4gb_parse_and_read(tmp_path, ndpi_arrays):
     ref = TiffSlideReader(str(small)).read_bounds(
         [0, 0, 128, 128], resolution=0.44, units="mpp")
     np.testing.assert_array_equal(got, ref)
+
+
+def test_ndpi_zstack_picks_in_focus_plane(tmp_path, ndpi_arrays):
+    """Z-stacked NDPI (each magnification repeated per focal plane with
+    ZOffset tag 65422): the pyramid must hold exactly ONE level per
+    magnification — the in-focus z=0 plane — not duplicates from
+    arbitrary focal planes."""
+    lv0, lv1, macro = ndpi_arrays
+    blur0 = cv2.GaussianBlur(lv0, (15, 15), 7)
+    blur1 = cv2.GaussianBlur(lv1, (15, 15), 7)
+    path = str(tmp_path / "zstack.ndpi")
+    _write_ndpi(
+        path,
+        [blur0, lv0, blur0, blur1, lv1, blur1, macro],
+        [40.0, 40.0, 40.0, 10.0, 10.0, 10.0, -1.0],
+        mpp=0.44,
+        z_offsets=[-2000, 0, 2000, -2000, 0, 2000, None])
+    r = TiffSlideReader(path)
+    assert r._level_downsamples == [1.0, 2.0]
+    assert r.info.slide_dimensions == (250, 200)
+    got = r.read_bounds([0, 0, 128, 128], resolution=0.44, units="mpp")
+    err_focus = np.abs(got.astype(int) - lv0[:128, :128].astype(int)).mean()
+    err_blur = np.abs(got.astype(int) - blur0[:128, :128].astype(int)).mean()
+    # content comes from the z=0 plane, not the blurred neighbors
+    assert err_focus < 12.0 and err_focus < err_blur, (err_focus, err_blur)

@@ -243,3 +243,25 @@ def test_jp2_native_box_walk_robustness(tmp_path):
     p2 = tmp_path / "xlbox.jp2"
     p2.write_bytes(data[:cut] + xl_box + data[cut:])
     assert Jp2NativeReader(str(p2), mpp=0.25).info.slide_dimensions == (80, 60)
+
+
+def test_jp2_native_oversize_fails_fast_at_open(tmp_path, monkeypatch):
+    """Slides past cv2.imdecode's pixel cap must fail at OPEN time with an
+    actionable message, not mid-pipeline at the first tile read (the
+    native path decodes the whole frame)."""
+    import cv2
+
+    from cerberus_tpu.wsi.reader import Jp2NativeReader
+
+    rng = np.random.default_rng(7)
+    plane = rng.integers(0, 255, (60, 80, 3)).astype(np.uint8)
+    ok, enc = cv2.imencode(".jp2", cv2.cvtColor(plane, cv2.COLOR_RGB2BGR))
+    assert ok
+    p = tmp_path / "t.jp2"
+    p.write_bytes(enc.tobytes())
+    # under the cap: opens fine
+    assert Jp2NativeReader(str(p), mpp=0.25).info.slide_dimensions == (80, 60)
+    # shrink the cap below 60*80 px: open must raise with the workarounds
+    monkeypatch.setenv("OPENCV_IO_MAX_IMAGE_PIXELS", "1000")
+    with pytest.raises(RuntimeError, match="glymur|npy"):
+        Jp2NativeReader(str(p), mpp=0.25)

@@ -510,3 +510,32 @@ def test_j2k_svs_through_wsi_pipeline(tmp_path):
     np.testing.assert_array_equal(dat["proc_dimensions"], [600, 700])
     for inst in dat["Nuclei"].values():
         assert inst["centroid"][0] <= 370  # masked left half + margin
+
+
+def test_large_plain_tiff_offsets_not_relocated(tmp_path):
+    """A >4 GB classic TIFF WITHOUT the NDPI marker keeps its stored
+    offsets verbatim: the NDPI 32-bit unwrap is gated on tag 65420, so a
+    legitimately large plain TIFF (all structure below 4 GB, sparse tail
+    past it) must parse and read identically to its small twin."""
+    rng = np.random.default_rng(11)
+    lv0 = rng.integers(0, 255, (150, 200, 3)).astype(np.uint8)
+    small = tmp_path / "small.tif"
+    _write_tiff(str(small), [lv0, lv0[::2, ::2]], description="|MPP = 0.5|")
+    ref = TiffSlideReader(str(small)).read_bounds(
+        [0, 0, 128, 128], resolution=0.5, units="mpp")
+
+    big = tmp_path / "big.tif"
+    big.write_bytes(small.read_bytes())
+    try:
+        with open(big, "r+b") as f:
+            f.truncate((1 << 32) + 4096)
+    except OSError:
+        pytest.skip("filesystem cannot hold a 4 GB sparse file")
+    if os.stat(big).st_blocks * 512 > 64 * 1024 * 1024:
+        big.unlink()
+        pytest.skip("filesystem does not store sparse files sparsely")
+
+    r = TiffSlideReader(str(big))
+    assert r._level_downsamples == [1.0, 2.0]
+    got = r.read_bounds([0, 0, 128, 128], resolution=0.5, units="mpp")
+    np.testing.assert_array_equal(got, ref)
