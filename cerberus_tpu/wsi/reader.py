@@ -474,6 +474,12 @@ def open_wsi(path: str, mpp: Optional[float] = None) -> WSIReader:
             return OpenSlideReader(path)
         except ImportError:
             pass
+        if ext == ".mrxs":
+            # MIRAX is its own container (Slidedat.ini + Index.dat +
+            # Data####.dat), not TIFF — native parser in mirax_reader.py
+            from .mirax_reader import MiraxSlideReader
+
+            return MiraxSlideReader(path, mpp=mpp)
         # native fallback: SVS is a JPEG-tiled multi-IFD TIFF the built-in
         # parser reads without OpenSlide (wsi/tiff_reader.py); the other
         # vendor formats are TIFF-based too and parse when not J2K-coded
