@@ -70,7 +70,7 @@ from typing import Dict, List, Optional, Tuple
 import cv2
 import numpy as np
 
-from .reader import SlideInfo, WSIReader, _to_rgb_u8
+from .reader import SlideInfo, WSIReader
 
 _ZOOM_HIER_NAME = "Slide zoom level"
 _POSITION_NONHIER = "VIMSLIDE_POSITION_BUFFER"
@@ -79,12 +79,14 @@ _POSITION_NONHIER = "VIMSLIDE_POSITION_BUFFER"
 class _Level:
     """One zoom level: stored-tile geometry + (image_number -> record)."""
 
+    # overlap_* feed the level-0 grid pitch only (placement at coarser
+    # levels derives from level-0 camera positions, never from their own
+    # overlaps); kept per level for introspection
     __slots__ = ("tile_w", "tile_h", "overlap_x", "overlap_y", "concat",
-                 "fmt", "fill_bgr", "records", "positions", "downsample")
+                 "fmt", "fill_bgr", "records", "downsample")
 
     def __init__(self):
         self.records: Dict[int, Tuple[int, int, int]] = {}
-        self.positions: Dict[int, Tuple[int, int]] = {}
 
 
 def _read_ini(path: str) -> configparser.ConfigParser:
@@ -103,7 +105,9 @@ def _walk_pages(data: bytes, first_page: int
     pos = first_page
     seen = set()
     while pos:
-        if pos in seen or pos + 8 > len(data):
+        # negative offsets would make unpack_from read from the buffer
+        # END silently — reject them as the corruption they are
+        if pos < 0 or pos in seen or pos + 8 > len(data):
             raise ValueError("corrupt index: bad page chain")
         seen.add(pos)
         n, nxt = struct.unpack_from("<ii", data, pos)
@@ -166,6 +170,8 @@ class MiraxSlideReader(WSIReader):
         if len(index) < 45:
             raise ValueError(f"{path}: truncated MIRAX index")
         hier_root, nonhier_root = struct.unpack_from("<ii", index, 37)
+        if hier_root < 0 or nonhier_root < 0:
+            raise ValueError(f"{path}: corrupt index: negative root")
 
         # zoom levels, in catalog order (level 0 first by convention)
         self._levels: List[_Level] = []
@@ -189,6 +195,9 @@ class MiraxSlideReader(WSIReader):
                                  "not supported")
             fill = int(s.get("IMAGE_FILL_COLOR_BGR", 0))
             lv.fill_bgr = ((fill >> 16) & 255, (fill >> 8) & 255, fill & 255)
+            if hier_root + 4 * k + 4 > len(index):
+                raise ValueError(f"{path}: corrupt index: root table "
+                                 "truncated")
             (page,) = struct.unpack_from("<i", index, hier_root + 4 * k)
             if page:
                 for img_no, off, length, fno in _walk_pages(index, page):
@@ -200,15 +209,22 @@ class MiraxSlideReader(WSIReader):
         for k, (name, _val) in enumerate(nonhier_values):
             if name != _POSITION_NONHIER:
                 continue
+            if nonhier_root + 4 * k + 4 > len(index):
+                raise ValueError(f"{path}: corrupt index: nonhier table "
+                                 "truncated")
             (page,) = struct.unpack_from("<i", index, nonhier_root + 4 * k)
             if not page:
                 continue
             recs = _walk_pages(index, page)
             if not recs:
                 continue
-            _img, off, length, fno = recs[0]
-            raw = self._read_blob(fno, off, length)
-            raw = zlib.decompress(raw)
+            # large slides may split the buffer across several records —
+            # each an independent zlib stream of consecutive 9-byte
+            # position chunks; concatenate them all (dropping any would
+            # silently misplace the affected cameras onto the grid pitch)
+            raw = b"".join(
+                zlib.decompress(self._read_blob(fno, off, length))
+                for _img, off, length, fno in recs)
             pos: Dict[int, Tuple[int, int]] = {}
             n = len(raw) // 9
             for i in range(min(n, self._nx * self._ny)):
@@ -222,25 +238,52 @@ class MiraxSlideReader(WSIReader):
         if lv0.concat != 1:
             raise ValueError(f"{path}: level 0 IMAGE_CONCAT_FACTOR "
                              f"{lv0.concat} != 1")
-        # level-0 camera-image pitch & plane size
+        # level-0 camera-image pitch
         pitch_x = lv0.tile_w - lv0.overlap_x
         pitch_y = lv0.tile_h - lv0.overlap_y
-        if self._cam_pos:
-            xs = [p[0] for p in self._cam_pos.values()]
-            ys = [p[1] for p in self._cam_pos.values()]
-            w0 = max(xs) + lv0.tile_w
-            h0 = max(ys) + lv0.tile_h
-        else:
-            w0 = int(round((self._nx - 1) * pitch_x)) + lv0.tile_w
-            h0 = int(round((self._ny - 1) * pitch_y)) + lv0.tile_h
         self._pitch = (pitch_x, pitch_y)
 
         # per-level downsample: concat_k camera images per stored-tile
         # side, re-encoded at DIGITIZER size => ds = concat * camera_px /
-        # tile_px (axis-symmetric scanners keep x == y; trust x)
+        # tile_px. Both axes must agree — oy placement divides by the
+        # x-derived value, so an anisotropic level would silently garble
+        # vertical placement; reject it loudly instead.
         for lv in self._levels:
-            lv.downsample = lv.concat * lv0.tile_w / lv.tile_w
+            dsx = lv.concat * lv0.tile_w / lv.tile_w
+            dsy = lv.concat * lv0.tile_h / lv.tile_h
+            if abs(dsx - dsy) > 0.01 * dsx:
+                raise ValueError(
+                    f"{path}: anisotropic level downsample x={dsx} "
+                    f"y={dsy} not supported")
+            lv.downsample = dsx
         self._level_downsamples = [lv.downsample for lv in self._levels]
+
+        # plane extent from EVERY placed tile (recorded positions AND
+        # grid-pitch fallbacks, all levels): a partial position buffer or
+        # negative recorded positions must not leave reachable tiles
+        # outside the slide bounds, where _read_level_padded would clip
+        # them to zero padding. Negative minima shift the whole
+        # coordinate system (self._l0_origin) so content starts at 0.
+        raw_origins: List[Dict[int, Tuple[int, int]]] = []
+        min_x = min_y = 0
+        max_x = max_y = 1
+        n_tiles = 0
+        for lvl, lv in enumerate(self._levels):
+            d: Dict[int, Tuple[int, int]] = {}
+            span_x = int(round(lv.tile_w * lv.downsample))
+            span_y = int(round(lv.tile_h * lv.downsample))
+            for img_no in lv.records:
+                x, y = self._tile_origin_l0(lvl, img_no)
+                d[img_no] = (x, y)
+                min_x, min_y = min(min_x, x), min(min_y, y)
+                max_x = max(max_x, x + span_x)
+                max_y = max(max_y, y + span_y)
+            n_tiles += len(d)
+            raw_origins.append(d)
+        if not n_tiles:
+            raise ValueError(f"{path}: no stored tiles in any zoom level")
+        self._l0_origin = (min_x, min_y)
+        w0, h0 = max_x - min_x, max_y - min_y
 
         if mpp is None:
             sec0 = cp[zoom_rows[0][1]]
@@ -258,14 +301,14 @@ class MiraxSlideReader(WSIReader):
         # tiles per level)
         self._placed: List[Tuple[np.ndarray, np.ndarray, np.ndarray]] = []
         for lvl, lv in enumerate(self._levels):
-            nos = np.fromiter(lv.records.keys(), np.int64,
-                              count=len(lv.records))
+            d = raw_origins[lvl]
+            nos = np.fromiter(d.keys(), np.int64, count=len(d))
             ox = np.empty(len(nos), np.int64)
             oy = np.empty(len(nos), np.int64)
             for i, img_no in enumerate(nos):
-                l0x, l0y = self._tile_origin_l0(lvl, int(img_no))
-                ox[i] = int(round(l0x / lv.downsample))
-                oy[i] = int(round(l0y / lv.downsample))
+                l0x, l0y = d[int(img_no)]
+                ox[i] = int(round((l0x - min_x) / lv.downsample))
+                oy[i] = int(round((l0y - min_y) / lv.downsample))
             self._placed.append((nos, ox, oy))
 
     # -- payload access ----------------------------------------------------
@@ -288,6 +331,13 @@ class MiraxSlideReader(WSIReader):
         if img is None:
             raise ValueError(f"{self._path}: tile {img_no}@L{lvl} failed "
                              f"to decode as {lv.fmt}")
+        if img.shape[:2] != (lv.tile_h, lv.tile_w):
+            # a mis-sized tile would broadcast-error deep inside the blit;
+            # fail with the tile identity instead
+            raise ValueError(
+                f"{self._path}: tile {img_no}@L{lvl} decoded to "
+                f"{img.shape[1]}x{img.shape[0]}, expected "
+                f"{lv.tile_w}x{lv.tile_h} (DIGITIZER_WIDTH/HEIGHT)")
         return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
 
     # -- placement ----------------------------------------------------------
@@ -320,4 +370,4 @@ class MiraxSlideReader(WSIReader):
             sy1 = min(y1, ty0 + lv.tile_h)
             out[sy0 - y0:sy1 - y0, sx0 - x0:sx1 - x0] = \
                 tile[sy0 - ty0:sy1 - ty0, sx0 - tx0:sx1 - tx0]
-        return _to_rgb_u8(out)
+        return out  # already (h, w, 3) uint8 — no conversion copy

@@ -315,3 +315,34 @@ def test_mirax_through_wsi_pipeline(tmp_path):
     for inst in dat["Nuclei"].values():
         # masked left ~60% of the plane + tile margin
         assert inst["centroid"][0] <= 0.62 * nx * TW
+
+
+def test_mirax_partial_positions_and_negative_origin(tmp_path, plane):
+    """A PARTIAL position buffer (only camera 0 recorded, shifted to
+    NEGATIVE coords) must still yield bounds covering every placed tile:
+    grid-pitch fallbacks beyond the recorded extent stay readable, and
+    the negative minimum shifts the coordinate system so content starts
+    at 0 instead of being cropped."""
+    nx = ny = 4
+    path = str(tmp_path / "f.mrxs")
+    _write_mrxs(path, plane, nx, ny, positions={0: (-5, -3)})
+    r = MiraxSlideReader(path)
+    assert r.info.slide_dimensions == (4 * TW + 5, 4 * TH + 3)
+    got = r.read_bounds([0, 0, 4 * TW + 5, 4 * TH + 3], resolution=0.25)
+    # camera 0's recorded (-5,-3) normalizes to the plane origin
+    np.testing.assert_array_equal(got[:TH, :TW], plane[:TH, :TW])
+    # camera (1,1) falls back to grid pitch, shifted by the origin (+5,+3)
+    np.testing.assert_array_equal(
+        got[TH + 3:2 * TH + 3, TW + 5:2 * TW + 5],
+        plane[TH:2 * TH, TW:2 * TW])
+
+
+def test_mirax_corrupt_index_rejected(tmp_path, plane):
+    path = str(tmp_path / "g.mrxs")
+    _write_mrxs(path, plane, nx=4, ny=4)
+    idx = os.path.join(str(tmp_path / "g"), "Index.dat")
+    data = bytearray(open(idx, "rb").read())
+    struct.pack_into("<i", data, 37, -8)  # negative hier root
+    open(idx, "wb").write(bytes(data))
+    with pytest.raises(ValueError, match="corrupt index"):
+        MiraxSlideReader(path)
