@@ -14,6 +14,9 @@ so a container parser plus cv2's JPEG decoder covers the format natively:
     label/macro images differ in aspect and are skipped);
   * mpp from the Aperio ImageDescription (``|MPP = 0.25|``) or the
     XResolution/ResolutionUnit tags;
+  * Leica SCN (BigTIFF + collection XML): the scan's pyramid IFDs, mpp
+    (view physical extent over pixels) and objective come from the
+    ImageDescription XML instead of aspect inference (_scn_main_levels);
   * Hamamatsu NDPI (the reference reaches it only through OpenSlide,
     misc/wsi_handler.py:303-320): tag 65420 marks the format, pyramid
     levels are the IFDs with positive SourceLens (65421; macro = -1 and
@@ -284,6 +287,73 @@ def _as_list(v) -> List[int]:
     return [v] if isinstance(v, int) else list(v)
 
 
+def _scn_main_levels(ifds: List[_IFD]) -> Optional[Tuple[List[_IFD],
+                                                         Optional[float],
+                                                         Optional[float]]]:
+    """Leica SCN: (pyramid IFDs, mpp, objective) from the collection XML.
+
+    SCN is BigTIFF whose IFD0 ImageDescription holds a <scn> collection:
+    each <image> (macro overview + one or more scanned regions) maps its
+    pyramid via <pixels><dimension sizeX sizeY r= ifd= /> rows — the IFDs
+    are NOT grouped by aspect like Aperio, so the generic pyramid
+    inference would anchor on the macro and drop the scan. Returns the
+    largest image's level IFDs in r order; mpp comes from the <view>
+    physical extent (nanometers) over the pixel width, objective from
+    <objective>. Returns None for non-SCN files. The reference reaches
+    SCN only through OpenSlide (misc/wsi_handler.py:303-320)."""
+    desc = ifds[0].get("description", "") or ""
+    if "<scn" not in desc:
+        return None
+    import xml.etree.ElementTree as ET
+
+    try:
+        root = ET.fromstring(desc)
+    except ET.ParseError as exc:
+        raise ValueError(f"corrupt SCN ImageDescription XML: {exc}")
+
+    def local(tag):
+        return tag.split("}")[-1]
+
+    best = None  # (size_x, levels {r: ifd_idx}, mpp, objective)
+    for image in root.iter():
+        if local(image.tag) != "image":
+            continue
+        dims: Dict[int, int] = {}
+        size0 = view_nm = objective = None
+        for el in image.iter():
+            name = local(el.tag)
+            if name == "dimension":
+                # z-stacked planes repeat r values; keep the first (z=0)
+                r = int(el.get("r", 0))
+                if r not in dims:
+                    dims[r] = int(el.get("ifd"))
+                    if r == 0:
+                        size0 = int(el.get("sizeX"))
+            elif name == "view" and el.get("sizeX"):
+                view_nm = float(el.get("sizeX"))
+            elif name == "objective" and el.text:
+                try:
+                    objective = float(el.text)
+                except ValueError:
+                    pass
+        if not dims or size0 is None:
+            continue
+        mpp = (view_nm / size0 / 1000.0) if view_nm else None
+        if best is None or size0 > best[0]:
+            best = (size0, dims, mpp, objective)
+    if best is None:
+        raise ValueError("SCN XML lists no scanned image with dimensions")
+    _, dims, mpp, objective = best
+    levels = []
+    for r in sorted(dims):
+        idx = dims[r]
+        if not 0 <= idx < len(ifds):
+            raise ValueError(f"SCN XML maps level r={r} to IFD {idx}, "
+                             f"but the file has {len(ifds)} IFDs")
+        levels.append(ifds[idx])
+    return levels, mpp, objective
+
+
 def _z_offset(ifd: _IFD) -> float:
     """The NDPI focal-plane Z offset (tag 65422), 0 when absent/in-focus."""
     v = ifd.get("z_offset", 0) or 0
@@ -369,7 +439,12 @@ class TiffSlideReader(WSIReader):
         ifds, _endian = _parse_tiff(path)
         if not ifds:
             raise ValueError(f"{path}: no IFDs")
-        base = ifds[0]
+        # Leica SCN: the collection XML names the scan's level IFDs
+        # explicitly (the aspect-based inference below would anchor on
+        # the macro overview and drop the scan)
+        scn = _scn_main_levels(ifds)
+        scn_ifds, scn_mpp, scn_power = scn if scn else (None, None, None)
+        base = scn_ifds[0] if scn else ifds[0]
         bw, bh = int(base.width), int(base.height)
         # NDPI (Hamamatsu): tag 65420 marks the format; pyramid levels are
         # the IFDs with a positive source lens (65421) — the macro (-1)
@@ -388,9 +463,13 @@ class TiffSlideReader(WSIReader):
                 base = ifds[0]
                 bw, bh = int(base.width), int(base.height)
         # pyramid levels: aspect must match the baseline (Aperio label /
-        # macro images have different aspect); keep descending sizes
+        # macro images have different aspect); keep descending sizes.
+        # SCN bypasses the inference: its XML already named the IFDs.
         self._levels: List[_IFD] = [base]
-        for ifd in ifds[1:]:
+        for ifd in (scn_ifds[1:] if scn else ifds[1:]):
+            if scn:
+                self._levels.append(ifd)
+                continue
             if self._ndpi and float(ifd.get("source_lens", 0) or 0) <= 0:
                 continue
             w, h = int(ifd.width), int(ifd.height)
@@ -427,12 +506,14 @@ class TiffSlideReader(WSIReader):
                     f"{path}: unsupported TIFF compression {comp}")
 
         if mpp is None:
-            mpp = self._parse_mpp(base)
+            # SCN view-extent mpp first, then the generic tag/description
+            # parse (scn_mpp is None for non-SCN files)
+            mpp = scn_mpp or self._parse_mpp(base)
         if mpp is None:
             raise ValueError(
                 f"{path}: no MPP in ImageDescription/XResolution; pass "
                 "mpp= explicitly")
-        power = None
+        power = scn_power if scn else None
         desc = base.get("description", "") or ""
         m = re.search(r"AppMag\s*=\s*([0-9.]+)", desc)
         if m:

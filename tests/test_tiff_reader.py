@@ -539,3 +539,56 @@ def test_large_plain_tiff_offsets_not_relocated(tmp_path):
     assert r._level_downsamples == [1.0, 2.0]
     got = r.read_bounds([0, 0, 128, 128], resolution=0.5, units="mpp")
     np.testing.assert_array_equal(got, ref)
+
+
+_SCN_XML = """<?xml version="1.0"?>
+<scn xmlns="http://www.leica-microsystems.com/scn/2010/10/01">
+ <collection sizeX="20000000" sizeY="16000000">
+  <image name="macro">
+   <view sizeX="20000000" sizeY="16000000" offsetX="0" offsetY="0"/>
+   <pixels sizeX="100" sizeY="80">
+    <dimension sizeX="100" sizeY="80" r="0" ifd="0"/>
+   </pixels>
+  </image>
+  <image name="region0">
+   <view sizeX="62500" sizeY="50000" offsetX="1000000" offsetY="900000"/>
+   <pixels sizeX="250" sizeY="200">
+    <dimension sizeX="250" sizeY="200" r="0" ifd="1"/>
+    <dimension sizeX="250" sizeY="200" r="0" ifd="0" z="1"/>
+    <dimension sizeX="125" sizeY="100" r="1" ifd="2"/>
+   </pixels>
+   <scanSettings><objectiveSettings><objective>20</objective>
+   </objectiveSettings></scanSettings>
+  </image>
+ </collection>
+</scn>"""
+
+
+def test_leica_scn_collection(tmp_path, slide_arrays):
+    """Leica SCN: the collection XML (not aspect inference) names the
+    scan's pyramid IFDs — the macro overview sits at IFD 0 where the
+    generic path would anchor the pyramid. mpp derives from the view's
+    physical extent (nm) over the pixel width; objective from the XML;
+    duplicate-r z-planes keep the first (z=0)."""
+    lv0, lv1 = slide_arrays
+    rng = np.random.default_rng(4)
+    macro = rng.integers(0, 255, (80, 100, 3)).astype(np.uint8)
+    path = str(tmp_path / "slide.scn")
+    _write_tiff(path, [macro, lv0, lv1], big=True, description=_SCN_XML)
+    r = TiffSlideReader(path)
+    assert r.info.slide_dimensions == (250, 200)
+    assert r._level_downsamples == [1.0, 2.0]
+    assert abs(r.info.mpp - 0.25) < 1e-9  # 62500 nm / 250 px / 1000
+    assert r.info.objective_power == 20.0
+    got = r.read_bounds([0, 0, 128, 128], resolution=0.25, units="mpp")
+    np.testing.assert_array_equal(got, lv0[:128, :128])
+
+    from cerberus_tpu.wsi.reader import open_wsi
+    assert isinstance(open_wsi(path), TiffSlideReader)
+
+    # corrupt XML fails loudly, not as a mis-inferred pyramid
+    bad = str(tmp_path / "bad.scn")
+    _write_tiff(bad, [macro, lv0], big=True,
+                description="<scn><image></scn>")
+    with pytest.raises(ValueError, match="SCN"):
+        TiffSlideReader(bad)
