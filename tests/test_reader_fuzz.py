@@ -1,0 +1,125 @@
+"""Slide-container robustness fuzz: truncated and bit-flipped files.
+
+A production WSI service feeds whatever the cohort directory holds into
+open_wsi; a corrupt container must raise a CONTROLLED error (bounded set
+below) from open or read — never hang, recurse, or surface an internal
+crash from deep inside a decoder. Pinned-seed mutations keep failures
+reproducible (same pattern as tests/test_postproc_fuzz.py).
+"""
+import configparser
+import os
+import struct
+import zlib
+
+import cv2
+import numpy as np
+import pytest
+
+from cerberus_tpu.wsi.reader import open_wsi
+
+from tests.test_mirax_reader import _write_mrxs
+from tests.test_ndpi_reader import _write_ndpi
+from tests.test_tiff_reader import _write_tiff
+
+# the controlled-failure contract: every reader error path funnels into
+# one of these (ValueError for structural problems, struct/zlib/OSError
+# from bounded parsing, KeyError/configparser for missing catalog keys)
+ALLOWED = (ValueError, KeyError, OSError, EOFError, struct.error,
+           zlib.error, configparser.Error, cv2.error)
+
+
+def _try_open_read(path):
+    r = open_wsi(path)
+    r.read_bounds([0, 0, 64, 64], resolution=r.info.mpp, units="mpp")
+    w, h = r.info.slide_dimensions
+    if max(w, h) < 4096:  # a flipped size tag must not cost a huge canvas
+        r.slide_thumbnail(resolution=4 * r.info.mpp, units="mpp")
+
+
+def _fuzz_file(tmp_path, src, n_cases=16, seed=0):
+    rng = np.random.default_rng(seed)
+    data = open(src, "rb").read()
+    ext = os.path.splitext(src)[1]
+    failures = []
+    for case in range(n_cases):
+        p = str(tmp_path / f"fz{case}{ext}")
+        if case % 2 == 0:  # truncation
+            cut = int(rng.integers(1, len(data)))
+            blob = data[:cut]
+        else:  # byte flips
+            blob = bytearray(data)
+            for _ in range(int(rng.integers(1, 8))):
+                blob[int(rng.integers(0, len(blob)))] ^= \
+                    int(rng.integers(1, 256))
+            blob = bytes(blob)
+        with open(p, "wb") as f:
+            f.write(blob)
+        try:
+            _try_open_read(p)
+        except ALLOWED:
+            pass
+        except Exception as exc:  # noqa: BLE001 — the fuzz contract
+            failures.append((case, type(exc).__name__, str(exc)[:120]))
+    assert not failures, failures
+
+
+def test_fuzz_tiff_svs(tmp_path):
+    rng = np.random.default_rng(1)
+    lv0 = rng.integers(0, 255, (150, 200, 3)).astype(np.uint8)
+    src = str(tmp_path / "s.svs")
+    _write_tiff(src, [lv0, lv0[::2, ::2]], compression=7,
+                description="Aperio |MPP = 0.5|")
+    _try_open_read(src)  # the pristine fixture must work
+    _fuzz_file(tmp_path, src, seed=11)
+
+
+def test_fuzz_ndpi(tmp_path):
+    rng = np.random.default_rng(2)
+    lv0 = rng.integers(0, 255, (100, 120, 3)).astype(np.uint8)
+    src = str(tmp_path / "s.ndpi")
+    _write_ndpi(src, [lv0, lv0[::2, ::2]], [40.0, 10.0], mpp=0.5)
+    _try_open_read(src)
+    _fuzz_file(tmp_path, src, seed=12)
+
+
+def test_fuzz_jp2(tmp_path):
+    rng = np.random.default_rng(3)
+    plane = rng.integers(0, 255, (96, 128, 3)).astype(np.uint8)
+    ok, enc = cv2.imencode(".jp2", cv2.cvtColor(plane, cv2.COLOR_RGB2BGR))
+    assert ok
+    src = str(tmp_path / "s.jp2")
+    open(src, "wb").write(enc.tobytes())
+    _try_open_read(src)
+    _fuzz_file(tmp_path, src, seed=13)
+
+
+def test_fuzz_mirax_container(tmp_path):
+    """MIRAX: fuzz the Index.dat and Slidedat.ini sidecars (the .mrxs
+    marker file itself carries no structure)."""
+    rng = np.random.default_rng(4)
+    plane = rng.integers(0, 255, (4 * 48, 4 * 64, 3)).astype(np.uint8)
+    src = str(tmp_path / "s.mrxs")
+    _write_mrxs(src, plane, nx=4, ny=4)
+    _try_open_read(src)
+    base = str(tmp_path / "s")
+    for sidecar in ("Index.dat", "Slidedat.ini"):
+        orig = open(os.path.join(base, sidecar), "rb").read()
+        for case in range(10):
+            if case % 2 == 0:
+                cut = int(rng.integers(1, len(orig)))
+                blob = orig[:cut]
+            else:
+                blob = bytearray(orig)
+                for _ in range(int(rng.integers(1, 8))):
+                    blob[int(rng.integers(0, len(blob)))] ^= \
+                        int(rng.integers(1, 256))
+                blob = bytes(blob)
+            with open(os.path.join(base, sidecar), "wb") as f:
+                f.write(blob)
+            try:
+                _try_open_read(src)
+            except ALLOWED:
+                pass
+        with open(os.path.join(base, sidecar), "wb") as f:
+            f.write(orig)
+        _try_open_read(src)  # restored container works again
