@@ -328,6 +328,47 @@ def main() -> None:
     e2e_tps = timed(forward_postproc, max(3, ITERS // 2))
     PARTIAL["e2e_tiles_per_sec"] = round(e2e_tps, 2)
 
+    # transfer-minimal wall variant (VERDICT r4 task 3): the headline wall
+    # loop materializes tens of MB of label maps per iter, so on the shared
+    # tunnel (measured 10-40 MB/s D2H) it times the LINK, not the chip +
+    # dispatch. This variant D2Hs ONE scalar checksum per iter — the only
+    # true barrier on this backend (block_until_ready acks before compute
+    # finishes; a D2H copy does not) — then fully materializes once at the
+    # end and validates the checksum against a host-side recompute.
+    @jax.jit
+    def forward_postproc_checksum(p, x):
+        maps = forward_postproc(p, x)
+        # exact int32 signature (x64 is off, f32 sums of flat-index labels
+        # would lose integer precision): nonzero count + max label per map
+        return jnp.stack([jnp.stack([jnp.sum((m > 0).astype(jnp.int32)),
+                                     jnp.max(m).astype(jnp.int32)])
+                          for m in maps]).ravel()
+
+    def timed_checksum(iters):
+        for _ in range(WARMUP):
+            np.asarray(forward_postproc_checksum(params, imgs))
+        best = float("inf")
+        for _trial in range(trials):
+            t0 = time.perf_counter()
+            prev = None
+            for _ in range(iters):
+                cur = forward_postproc_checksum(params, imgs)
+                if prev is not None:
+                    _ = np.asarray(prev)  # 24-byte D2H = the barrier
+                prev = cur
+            last_sig = np.asarray(prev)
+            best = min(best, time.perf_counter() - t0)
+        return BATCH * iters / best, last_sig
+
+    checksum_tps, device_sig = timed_checksum(max(3, ITERS // 2))
+    PARTIAL["wall_tiles_per_sec_checksum"] = round(checksum_tps, 2)
+    # one full materialization validates the signature actually summarizes
+    # the real outputs (guards against a dead-code-eliminated program)
+    full = [np.asarray(x) for x in forward_postproc(params, imgs)]
+    host_sig = np.array([v for m in full
+                         for v in (int((m > 0).sum()), int(m.max()))])
+    checksum_valid = bool(np.array_equal(host_sig, device_sig))
+
     # dense inference mode (CERBERUS_BENCH_DENSE=1): 1168^2 windows with an
     # 864^2 kept core — same 152 px margin as 448->144 but ~3x fewer FLOPs
     # per output pixel (tests/test_dense_infer.py). Reported in 448^2-tile
@@ -371,6 +412,12 @@ def main() -> None:
         "unit": "tiles/s",
         "vs_baseline": round(e2e_tps / EST_REFERENCE_TILES_PER_SEC, 2),
         "forward_only_tiles_per_sec": round(fwd_tps, 2),
+        # wall-clock with per-iter D2H limited to a 24-byte signature (the
+        # true barrier on this backend); full label maps materialized once
+        # at the end and validated against the signature. Measures chip +
+        # dispatch without the headline's tens-of-MB-per-iter link cost.
+        "wall_tiles_per_sec_checksum": round(checksum_tps, 2),
+        "checksum_validated_against_full_output": checksum_valid,
         **({"chip_condition_probe_tflops_bf16": round(probe_tflops, 2)}
            if probe_tflops is not None else
            {"probe_failed_assuming_degraded": True}),
@@ -392,6 +439,11 @@ def main() -> None:
         **{k: PARTIAL[k] for k in ("probe_attempts_tflops",
                                    "degraded_chip_reduced_batch")
            if k in PARTIAL},
+        "wall_provenance": {
+            "value": "per-iter full label-map D2H to host (link included)",
+            "wall_tiles_per_sec_checksum":
+                "per-iter 24-byte signature D2H; full D2H once at end",
+        },
         "baseline": {
             "estimate_reference_gpu": EST_REFERENCE_TILES_PER_SEC,
             "measured_reference_torch_cpu_1core": MEASURED_TORCH_CPU_1CORE,
