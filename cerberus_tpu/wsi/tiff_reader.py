@@ -323,12 +323,22 @@ def _scn_main_levels(ifds: List[_IFD]) -> Optional[Tuple[List[_IFD],
         for el in image.iter():
             name = local(el.tag)
             if name == "dimension":
-                # z-stacked planes repeat r values; keep the first (z=0)
+                # z-stacked planes repeat r values; keep the first (z=0).
+                # Missing/garbled attributes are corruption — fail closed
+                # as ValueError, not a TypeError from int(None)
+                ifd_attr, size_attr = el.get("ifd"), el.get("sizeX")
+                if ifd_attr is None or size_attr is None:
+                    raise ValueError(
+                        "corrupt SCN XML: <dimension> missing ifd/sizeX")
                 r = int(el.get("r", 0))
                 if r not in dims:
-                    dims[r] = int(el.get("ifd"))
+                    dims[r] = int(ifd_attr)
                     if r == 0:
-                        size0 = int(el.get("sizeX"))
+                        size0 = int(size_attr)
+                        if not 0 < size0 < (1 << 40):
+                            raise ValueError(
+                                f"corrupt SCN XML: sizeX={size0} out of "
+                                "any plausible slide range")
             elif name == "view" and el.get("sizeX"):
                 view_nm = float(el.get("sizeX"))
             elif name == "objective" and el.text:

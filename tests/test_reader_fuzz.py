@@ -93,6 +93,100 @@ def test_fuzz_jp2(tmp_path):
     _fuzz_file(tmp_path, src, seed=13)
 
 
+def test_fuzz_scn(tmp_path):
+    """Leica SCN: whole-file truncation/bit-flip fuzz — the collection
+    XML parser must fail closed (ValueError), never TypeError from a
+    garbled attribute name or an unbounded allocation."""
+    from tests.test_tiff_reader import _SCN_XML
+
+    rng = np.random.default_rng(5)
+    macro = rng.integers(0, 255, (80, 100, 3)).astype(np.uint8)
+    lv0 = rng.integers(0, 255, (200, 250, 3)).astype(np.uint8)
+    src = str(tmp_path / "s.scn")
+    _write_tiff(src, [macro, lv0, lv0[::2, ::2]], big=True,
+                description=_SCN_XML)
+    _try_open_read(src)
+    _fuzz_file(tmp_path, src, seed=14)
+
+
+def test_scn_malformed_xml_fails_closed(tmp_path):
+    """Targeted SCN corruption: missing dimension attributes, IFD indices
+    past the file's IFD table, and overflowing declared sizes must all
+    raise ValueError at open (VERDICT r4 task 9)."""
+    rng = np.random.default_rng(6)
+    macro = rng.integers(0, 255, (40, 50, 3)).astype(np.uint8)
+    lv0 = rng.integers(0, 255, (100, 120, 3)).astype(np.uint8)
+    cases = [
+        # <dimension> with the ifd attribute garbled away
+        """<scn><collection><image><pixels>
+           <dimension sizeX="120" sizeY="100" r="0"/>
+           </pixels></image></collection></scn>""",
+        # sizeX attribute missing on the r=0 dimension
+        """<scn><collection><image><pixels>
+           <dimension sizeY="100" r="0" ifd="1"/>
+           </pixels></image></collection></scn>""",
+        # ifd index far past the file's IFD count
+        """<scn><collection><image><view sizeX="60000"/><pixels>
+           <dimension sizeX="120" sizeY="100" r="0" ifd="99"/>
+           </pixels></image></collection></scn>""",
+        # declared size overflows any plausible slide extent
+        """<scn><collection><image><pixels>
+           <dimension sizeX="99999999999999" sizeY="1" r="0" ifd="1"/>
+           </pixels></image></collection></scn>""",
+        # collection present but no image carries dimensions
+        """<scn><collection><image name="macro"/></collection></scn>""",
+    ]
+    for i, xml in enumerate(cases):
+        p = str(tmp_path / f"bad{i}.scn")
+        _write_tiff(p, [macro, lv0], big=True, description=xml)
+        with pytest.raises(ValueError):
+            _try_open_read(p)
+
+
+def test_mirax_index_overflow_fails_closed(tmp_path):
+    """Targeted MIRAX index corruption: page chains that loop, run past
+    the buffer, or declare negative/overflowing entry counts must raise
+    ValueError — never spin or allocate unboundedly."""
+    import io
+
+    rng = np.random.default_rng(7)
+    plane = rng.integers(0, 255, (2 * 48, 2 * 64, 3)).astype(np.uint8)
+    src = str(tmp_path / "s.mrxs")
+    _write_mrxs(src, plane, nx=2, ny=2)
+    idx_path = os.path.join(str(tmp_path / "s"), "Index.dat")
+    orig = open(idx_path, "rb").read()
+    hier_root, _ = struct.unpack_from("<ii", orig, 37)
+    (first_page,) = struct.unpack_from("<i", orig, hier_root)
+
+    def rewrite(mutate):
+        blob = bytearray(orig)
+        mutate(blob)
+        with open(idx_path, "wb") as f:
+            f.write(bytes(blob))
+
+    # entry count exploded to ~2^30 (would read 16 GiB of entries)
+    rewrite(lambda b: struct.pack_into("<i", b, first_page, 1 << 30))
+    with pytest.raises(ValueError):
+        _try_open_read(src)
+    # negative entry count
+    rewrite(lambda b: struct.pack_into("<i", b, first_page, -5))
+    with pytest.raises(ValueError):
+        _try_open_read(src)
+    # next-page pointer loops back onto itself (infinite chain)
+    rewrite(lambda b: struct.pack_into("<i", b, first_page + 4, first_page))
+    with pytest.raises(ValueError):
+        _try_open_read(src)
+    # next-page pointer past the end of the buffer
+    rewrite(lambda b: struct.pack_into("<i", b, first_page + 4,
+                                       len(orig) + 1024))
+    with pytest.raises(ValueError):
+        _try_open_read(src)
+    # restored index works again
+    with open(idx_path, "wb") as f:
+        f.write(orig)
+    _try_open_read(src)
+
+
 def test_fuzz_mirax_container(tmp_path):
     """MIRAX: fuzz the Index.dat and Slidedat.ini sidecars (the .mrxs
     marker file itself carries no structure)."""
