@@ -67,6 +67,18 @@ class CanvasSet:
                 self.raw[y0:cy1, x0:cx1] += pred[:ph, :pw]
                 self.count[y0:cy1, x0:cx1] += 1
 
+    def write_region(self, bounds, values: np.ndarray) -> None:
+        """Land one contiguous region (XY bounds) in a single strided write —
+        the async disk landing of the HBM-resident path (infer/resident_wsi):
+        the device tile canvas arrives already stitched, so the per-patch
+        loop of ``write_patches`` collapses to one memcpy."""
+        x0, y0, x1, y1 = [int(v) for v in bounds]
+        H, W, _ = self.shape
+        cx1, cy1 = min(x1, W), min(y1, H)
+        if cx1 <= x0 or cy1 <= y0:
+            return
+        self.raw[y0:cy1, x0:cx1] = values[: cy1 - y0, : cx1 - x0]
+
     def read_region(self, bounds, channels: Optional[Sequence[int]] = None,
                     normalized: bool = True) -> np.ndarray:
         """Read an XY-bounds region to RAM as float32 (count-normalized when
@@ -79,6 +91,21 @@ class CanvasSet:
         region = np.asarray(region, dtype=np.float32)
         if self.count is not None and normalized:
             cnt = np.asarray(self.count[y0:y1, x0:x1], np.float32)[..., None]
+            region = region / np.maximum(cnt, 1.0)
+        return region
+
+    def read_decimated(self, step: int, channel: int) -> np.ndarray:
+        """``[::step, ::step]`` of one channel as float32.
+
+        Exactly equals the stripe-wise cv2 INTER_NEAREST 1/step resize of
+        the whole plane when H % step == W % step == 0 (integer scale:
+        cv2 maps dst j -> src floor(j * step) = j * step), while touching
+        only every ``step``-th row of the mmap instead of materializing the
+        full-resolution plane (the round-4 49k² tissue phase read 2.4 Gpx
+        to produce a 150 Mpx map)."""
+        region = np.asarray(self.raw[::step, ::step, channel], np.float32)
+        if self.count is not None:
+            cnt = np.asarray(self.count[::step, ::step], np.float32)
             region = region / np.maximum(cnt, 1.0)
         return region
 

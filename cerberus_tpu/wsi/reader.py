@@ -469,7 +469,8 @@ def open_wsi(path: str, mpp: Optional[float] = None) -> WSIReader:
             # Aperio-J2K SVS path uses) — full-decode-once + strided
             # pseudo-levels, value-identical to the glymur slicing
             return Jp2NativeReader(path, mpp=mpp)
-    if ext in (".svs", ".ndpi", ".mrxs", ".scn", ".vms", ".vmu", ".svslide"):
+    if ext in (".svs", ".ndpi", ".mrxs", ".scn", ".vms", ".vmu",
+               ".svslide", ".bif"):
         try:
             return OpenSlideReader(path)
         except ImportError:

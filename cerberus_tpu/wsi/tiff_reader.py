@@ -49,8 +49,9 @@ _TAGS = {
     262: "photometric", 270: "description", 273: "strip_offsets",
     277: "spp", 278: "rows_per_strip", 279: "strip_counts",
     282: "xres", 296: "res_unit", 317: "predictor",
+    305: "software",
     322: "tile_w", 323: "tile_h", 324: "tile_offsets", 325: "tile_counts",
-    347: "jpeg_tables",
+    347: "jpeg_tables", 700: "xmp",
     # Hamamatsu NDPI private tags (TIFF-with-quirks; OpenSlide docs):
     # 65420 marks the format, 65421 is the per-IFD source lens — the
     # objective magnification for pyramid levels, -1 for the macro image
@@ -364,6 +365,84 @@ def _scn_main_levels(ifds: List[_IFD]) -> Optional[Tuple[List[_IFD],
     return levels, mpp, objective
 
 
+def _xml_text(ifd: _IFD, key: str) -> str:
+    """A tag's payload as text regardless of TIFF type (ASCII string, BYTE
+    int list, or UNDEFINED raw bytes)."""
+    v = ifd.get(key)
+    if v is None:
+        return ""
+    if isinstance(v, str):
+        return v
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).decode("utf-8", "replace")
+    if isinstance(v, list):
+        return bytes(bytearray(x & 0xFF for x in v)).decode("utf-8",
+                                                            "replace")
+    return str(v)
+
+
+def _bif_meta(ifds: List[_IFD]):
+    """Ventana/Roche BIF: some IFD carries an ``<iScan ...>`` XMP blob with
+    ScanRes (µm/px) and Magnification (OpenSlide's ventana driver contract,
+    misc/wsi_handler.py:303-320 reaches it via OpenSlide). The first IFD is
+    typically a thumbnail, so the pyramid anchors on the LARGEST aspect
+    family instead of IFD0. Full-resolution AOI overlap stitching (real
+    scanner output only; needs per-AOI join metadata) is NOT replicated —
+    fixture-validated subset, documented in PARITY.md."""
+    mpp = power = None
+    seen = False
+    for ifd in ifds:
+        text = _xml_text(ifd, "xmp") or (ifd.get("description", "") or "")
+        if "<iScan" not in text:
+            continue
+        seen = True
+        m = re.search(r'ScanRes\s*=\s*"([0-9.eE+-]+)"', text)
+        if m:
+            mpp = float(m.group(1))
+        m = re.search(r'Magnification\s*=\s*"([0-9.eE+-]+)"', text)
+        if m:
+            power = float(m.group(1))
+    if not seen:
+        return None
+    if mpp is not None and not 0 < mpp < 1000:
+        raise ValueError(f"corrupt BIF iScan XML: ScanRes={mpp}")
+    # ancillary images are named in their per-IFD descriptions
+    cands = [i for i in ifds
+             if not re.search(r"\b(Thumbnail|Label|Probability)\b",
+                              i.get("description", "") or "")]
+    return mpp, power, (cands or list(ifds))
+
+
+def _philips_meta(ifds: List[_IFD]):
+    """Philips TIFF: Software tag 'Philips...' / a DPUfsImport XML
+    ImageDescription. mpp = min DICOM_PIXEL_SPACING (mm -> µm; the base
+    level has the finest spacing); Label/Macro images are named by their
+    per-IFD description and excluded from the pyramid. Sparse background
+    tiles (offset/bytecount 0) decode as white. Padded level dimensions are
+    kept as stored (documented divergence — PARITY.md)."""
+    head = ifds[0]
+    soft = str(head.get("software", "") or "")
+    desc0 = head.get("description", "") or ""
+    if not (soft.startswith("Philips") or "DPUfsImport" in desc0):
+        return None
+    mpp = None
+    spacings = []
+    text = desc0.replace("&quot;", '"')  # PMSVR arrays escape their quotes
+    for m in re.finditer(
+            r'Name="DICOM_PIXEL_SPACING"[^>]*>([^<]*)<', text):
+        for v in re.findall(r'"([0-9.eE+-]+)"', m.group(1)):
+            spacings.append(float(v))
+    if spacings:
+        mpp = min(s for s in spacings if s > 0) * 1000.0  # mm -> µm
+        if not 0 < mpp < 1000:
+            raise ValueError(
+                f"corrupt Philips XML: pixel spacing {mpp} µm")
+    candidates = [i for i in ifds
+                  if not re.search(r"\b(Label|Macro)\b",
+                                   i.get("description", "") or "")]
+    return mpp, None, (candidates or list(ifds))
+
+
 def _z_offset(ifd: _IFD) -> float:
     """The NDPI focal-plane Z offset (tag 65422), 0 when absent/in-focus."""
     v = ifd.get("z_offset", 0) or 0
@@ -454,7 +533,21 @@ class TiffSlideReader(WSIReader):
         # the macro overview and drop the scan)
         scn = _scn_main_levels(ifds)
         scn_ifds, scn_mpp, scn_power = scn if scn else (None, None, None)
-        base = scn_ifds[0] if scn else ifds[0]
+        # Ventana BIF / Philips TIFF: vendor XML carries the metadata and
+        # the first IFD may be a thumbnail/padded object — anchor on the
+        # largest candidate instead of IFD0
+        vendor = None if scn else (_bif_meta(ifds) or _philips_meta(ifds))
+        self._sparse_white = bool(vendor) and str(
+            ifds[0].get("software", "") or "").startswith("Philips")
+        v_mpp = v_power = None
+        if vendor is not None:
+            v_mpp, v_power, v_cands = vendor
+            base = max(v_cands,
+                       key=lambda i: int(i.width) * int(i.height))
+            rest_ifds = [i for i in v_cands if i is not base]
+        else:
+            base = scn_ifds[0] if scn else ifds[0]
+            rest_ifds = None
         bw, bh = int(base.width), int(base.height)
         # NDPI (Hamamatsu): tag 65420 marks the format; pyramid levels are
         # the IFDs with a positive source lens (65421) — the macro (-1)
@@ -476,7 +569,8 @@ class TiffSlideReader(WSIReader):
         # macro images have different aspect); keep descending sizes.
         # SCN bypasses the inference: its XML already named the IFDs.
         self._levels: List[_IFD] = [base]
-        for ifd in (scn_ifds[1:] if scn else ifds[1:]):
+        for ifd in (rest_ifds if rest_ifds is not None
+                    else (scn_ifds[1:] if scn else ifds[1:])):
             if scn:
                 self._levels.append(ifd)
                 continue
@@ -518,12 +612,12 @@ class TiffSlideReader(WSIReader):
         if mpp is None:
             # SCN view-extent mpp first, then the generic tag/description
             # parse (scn_mpp is None for non-SCN files)
-            mpp = scn_mpp or self._parse_mpp(base)
+            mpp = scn_mpp or v_mpp or self._parse_mpp(base)
         if mpp is None:
             raise ValueError(
                 f"{path}: no MPP in ImageDescription/XResolution; pass "
                 "mpp= explicitly")
-        power = scn_power if scn else None
+        power = scn_power if scn else v_power
         desc = base.get("description", "") or ""
         m = re.search(r"AppMag\s*=\s*([0-9.]+)", desc)
         if m:
@@ -567,6 +661,13 @@ class TiffSlideReader(WSIReader):
             rps = int(ifd.get("rows_per_strip", ifd.height))
             th = min(rps, int(ifd.height) - idx * rps)
         spp = int(ifd.get("spp", 3))
+        if (counts[idx] == 0 or offsets[idx] == 0):
+            if self._sparse_white:
+                # Philips TIFF omits pure-background tiles; background is
+                # the scanner's white
+                return np.full((th, tw, 3), 255, np.uint8)
+            raise ValueError(
+                f"{self.path}: empty tile {idx} in a non-sparse format")
         if comp == 1:
             arr = np.frombuffer(data, np.uint8)
             arr = arr[:th * tw * spp].reshape(th, tw, spp)

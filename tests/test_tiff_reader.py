@@ -16,11 +16,16 @@ from cerberus_tpu.wsi.tiff_reader import TiffSlideReader
 
 
 def _write_tiff(path, levels, compression=1, description=None, big=False,
-                tile=64, tile_encoder=None, extra_tags=()):
+                tile=64, tile_encoder=None, extra_tags=(),
+                sparse_tiles=()):
     """Minimal tiled TIFF writer (little endian). ``levels``: list of HxWx3
     uint8 arrays, full resolution first. ``tile_encoder`` overrides the
     per-tile byte encoding (the compression tag is still written as given);
-    ``extra_tags``: extra (tag, type, count, values) IFD entries."""
+    ``extra_tags``: extra (tag, type, count, values) IFD entries — a flat
+    sequence applies to every IFD, a dict keys them by level index.
+    ``description`` may be a per-level list (None entries skip the tag).
+    ``sparse_tiles``: set of (level, flat_tile_idx) written with offset 0 /
+    bytecount 0 (the Philips sparse-background convention)."""
     out = bytearray()
     if big:
         out += b"II" + struct.pack("<HHHQ", 43, 8, 0, 0)  # offset patched
@@ -36,8 +41,14 @@ def _write_tiff(path, levels, compression=1, description=None, big=False,
         h, w = img.shape[:2]
         # encode tiles
         offsets, counts = [], []
+        flat_idx = -1
         for ty in range(-(-h // tile)):
             for tx in range(-(-w // tile)):
+                flat_idx += 1
+                if (lvl_idx, flat_idx) in set(sparse_tiles):
+                    offsets.append(0)
+                    counts.append(0)
+                    continue
                 t = np.zeros((tile, tile, 3), np.uint8)
                 sub = img[ty * tile:(ty + 1) * tile, tx * tile:(tx + 1) * tile]
                 t[:sub.shape[0], :sub.shape[1]] = sub
@@ -64,15 +75,17 @@ def _write_tiff(path, levels, compression=1, description=None, big=False,
         entries.append((258, 3, 3, [8, 8, 8]))
         entries.append((259, 3, 1, [compression]))
         entries.append((262, 3, 1, [6 if compression == 7 else 2]))
-        if description and lvl_idx == 0:
-            entries.append((270, 2, len(description) + 1,
-                            description.encode() + b"\0"))
+        desc = (description[lvl_idx] if isinstance(description, list)
+                else (description if lvl_idx == 0 else None))
+        if desc:
+            entries.append((270, 2, len(desc) + 1, desc.encode() + b"\0"))
         entries.append((277, 3, 1, [3]))
         entries.append((322, 4, 1, [tile]))
         entries.append((323, 4, 1, [tile]))
         entries.append((324, 4, len(offsets), offsets))
         entries.append((325, 4, len(counts), counts))
-        entries.extend(extra_tags)
+        entries.extend(extra_tags.get(lvl_idx, ())
+                       if isinstance(extra_tags, dict) else extra_tags)
         entries.sort()
 
         # materialize out-of-line values
@@ -80,7 +93,7 @@ def _write_tiff(path, levels, compression=1, description=None, big=False,
         sizes = {2: 1, 3: 2, 4: 4}
         blobs = []
         for tag, vtype, count, vals in entries:
-            if vtype == 2:
+            if vtype in (1, 2, 7):  # byte-ish payloads pass through
                 data = bytes(vals)
             else:
                 data = struct.pack("<" + {3: "H", 4: "I"}[vtype] * count,
@@ -98,7 +111,7 @@ def _write_tiff(path, levels, compression=1, description=None, big=False,
         else:
             out += struct.pack("<H", len(entries))
         for tag, vtype, count, vals in entries:
-            if vtype == 2:
+            if vtype in (1, 2, 7):  # byte-ish payloads pass through
                 data = bytes(vals)
             else:
                 data = struct.pack("<" + {3: "H", 4: "I"}[vtype] * count,
@@ -592,3 +605,82 @@ def test_leica_scn_collection(tmp_path, slide_arrays):
                 description="<scn><image></scn>")
     with pytest.raises(ValueError, match="SCN"):
         TiffSlideReader(bad)
+
+
+_ISCAN_XML = ('<?xpacket begin=""?><x:xmpmeta xmlns:x="adobe:ns:meta/">'
+              '<iScan Magnification="40" ScanRes="0.25" UnitNumber="1"/>'
+              '</x:xmpmeta>')
+
+
+def test_ventana_bif(tmp_path, slide_arrays):
+    """Ventana BIF: thumbnail-first IFD order; the iScan XMP names mpp
+    (ScanRes) + objective; the pyramid anchors on the largest candidate,
+    not IFD0. (AOI overlap stitching of real scanner output is documented
+    as out of scope — fixture has no overlaps.)"""
+    lv0, lv1 = slide_arrays
+    rng = np.random.default_rng(7)
+    thumb = rng.integers(0, 255, (40, 50, 3)).astype(np.uint8)
+    xmp = _ISCAN_XML.encode()
+    path = str(tmp_path / "slide.bif")
+    _write_tiff(path, [thumb, lv0, lv1], big=True,
+                description=["Thumbnail", None, None],
+                extra_tags={1: [(700, 7, len(xmp), xmp)]})
+    r = TiffSlideReader(path)
+    assert r.info.slide_dimensions == (250, 200)
+    assert abs(r.info.mpp - 0.25) < 1e-9
+    assert r.info.objective_power == 40.0
+    assert r._level_downsamples == [1.0, 2.0]
+    got = r.read_bounds([0, 0, 128, 128], resolution=0.25, units="mpp")
+    np.testing.assert_array_equal(got, lv0[:128, :128])
+
+    from cerberus_tpu.wsi.reader import open_wsi
+    assert isinstance(open_wsi(path), TiffSlideReader)
+
+    # corrupt ScanRes fails closed
+    bad_xmp = _ISCAN_XML.replace('ScanRes="0.25"',
+                                 'ScanRes="9e99"').encode()
+    bad = str(tmp_path / "bad.bif")
+    _write_tiff(bad, [thumb, lv0], big=True,
+                extra_tags={1: [(700, 7, len(bad_xmp), bad_xmp)]})
+    with pytest.raises(ValueError, match="BIF"):
+        TiffSlideReader(bad)
+
+
+_PHILIPS_XML = (
+    '<DataObject ObjectType="DPUfsImport"><Attribute Name="PIM_DP_SCANNED'
+    '_IMAGES" PMSVR="IDataObjectArray"><Attribute Name="DICOM_PIXEL_SPACING"'
+    ' Group="0x0028" Element="0x0030" PMSVR="IDoubleArray">&quot;0.00025'
+    '&quot; &quot;0.00025&quot;</Attribute></Attribute></DataObject>')
+
+
+def test_philips_tiff_sparse(tmp_path, slide_arrays):
+    """Philips TIFF: Software tag detection, DICOM_PIXEL_SPACING mm->µm,
+    Macro/Label IFDs excluded by name, and sparse background tiles
+    (offset/count 0) decoding as scanner-white."""
+    lv0, lv1 = slide_arrays
+    rng = np.random.default_rng(8)
+    macro = rng.integers(0, 255, (40, 50, 3)).astype(np.uint8)
+    soft = b"Philips DP v1.0\0"
+    path = str(tmp_path / "slide.tiff")
+    # level 0 tile grid is 4x4 (tile=64, 250x200): drop flat tile 5
+    _write_tiff(path, [lv0, lv1, macro],
+                description=[_PHILIPS_XML, None, "Macro image"],
+                extra_tags=[(305, 2, len(soft), soft)],
+                sparse_tiles={(0, 5)})
+    r = TiffSlideReader(path)
+    assert r.info.slide_dimensions == (250, 200)
+    assert abs(r.info.mpp - 0.25) < 1e-9
+    assert len(r._levels) == 2  # macro excluded by name
+    got = r.read_bounds([0, 0, 250, 200], resolution=0.25, units="mpp")
+    # dropped tile = rows 64:128, cols 64:128 -> white; everything else exact
+    expect = lv0.copy()
+    expect[64:128, 64:128] = 255
+    np.testing.assert_array_equal(got[:200], expect)
+
+    # a zero-length tile in a NON-sparse format still fails loudly
+    svs = str(tmp_path / "s.svs")
+    _write_tiff(svs, [lv0, lv1], description="Aperio |MPP = 0.25",
+                sparse_tiles={(0, 5)})
+    rs = TiffSlideReader(svs)
+    with pytest.raises(ValueError, match="empty tile"):
+        rs.read_bounds([0, 0, 250, 200], resolution=0.25, units="mpp")

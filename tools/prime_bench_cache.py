@@ -64,6 +64,62 @@ def main() -> None:
     _compile("probe add", add, x_f32,
              jax.ShapeDtypeStruct((), jnp.float32))
 
+    if any(a.startswith("--resident") for a in sys.argv):
+        prime_resident()
+
+
+def _resident_buckets(proc: int, out: int, tile: int = 2048):
+    # tile default matches the WSI CLI's --tile_shape [default: 2048]
+    # (the reference flag surface), which is what tools/bench_wsi.py runs
+    """Canvas shape buckets ResidentWSIProcessor will request for a proc²
+    slide (mirrors infer/resident_wsi.run: pad512 of the output-aligned
+    clipped tile extents)."""
+    tw = max((tile // out) * out, out)
+    if proc <= tw:
+        starts = [0]
+    else:
+        last = -(-(proc - tw) // tw) * tw
+        starts = list(range(0, last + 1, tw))
+    clips = sorted({min(s + tw, proc) - s for s in starts})
+    sides = sorted({max(-(-c // out) * out, out) for c in clips})
+    sides = sorted({max(-(-s // 512) * 512, 512) for s in sides})
+    return [(h, w) for h in sides for w in sides]
+
+
+def prime_resident() -> None:
+    """AOT-compile the HBM-resident WSI programs (writer + grid nuclei +
+    gland/lumen region families) for the 49k² bench geometry — dense 864 by
+    default, plus windowed 144 with --all. Region program shapes depend on
+    the slide's tissue bboxes and cannot be known ahead; the nuclei/writer
+    buckets are deterministic."""
+    from cerberus_tpu.data.patching import make_channel_index_map
+    from cerberus_tpu.config import DEFAULT_DECODER_KWARGS
+    from cerberus_tpu.infer.resident_wsi import ResidentWSIProcessor
+
+    proc_side = 24576  # 49152 base at 40x -> 20x proc
+    for a in sys.argv:
+        if a.startswith("--resident="):
+            proc_side = int(a.split("=", 1)[1])
+    idx_dict, n_ch = make_channel_index_map(DEFAULT_DECODER_KWARGS)
+
+    geoms = [(864, 16)] + ([(144, 128)] if "--all" in sys.argv else [])
+    for out, batch in geoms:
+        proc = ResidentWSIProcessor(
+            manager=None, idx_dict=idx_dict, n_ch=n_ch,
+            postproc_code="IP-ERODED-CONTOUR-3", output_shape=out,
+            margin=64)
+        outs_abs = jax.ShapeDtypeStruct((batch, out, out, n_ch), jnp.float16)
+        tls_abs = jax.ShapeDtypeStruct((batch, 2), jnp.int32)
+        i32 = jax.ShapeDtypeStruct((), jnp.int32)
+        for hp, wp in _resident_buckets(proc_side, out):
+            canvas_abs = jax.ShapeDtypeStruct((hp + out, wp, n_ch),
+                                              jnp.float16)
+            _compile(f"resident_writer[{hp}x{wp},o{out}]",
+                     proc._writer((hp + out, wp, n_ch)), canvas_abs,
+                     outs_abs, tls_abs)
+            _compile(f"resident_nuclei[{hp}x{wp}]",
+                     proc._nuclei_program(hp, wp), canvas_abs, i32, i32)
+
 
 if __name__ == "__main__":
     main()
