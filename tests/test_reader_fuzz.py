@@ -217,3 +217,37 @@ def test_fuzz_mirax_container(tmp_path):
         with open(os.path.join(base, sidecar), "wb") as f:
             f.write(orig)
         _try_open_read(src)  # restored container works again
+
+
+def test_fuzz_bif(tmp_path):
+    """Ventana BIF: truncation/bit-flip fuzz over the iScan-XMP container
+    (largest-candidate anchoring must not trip on garbled XMP or sizes)."""
+    from tests.test_tiff_reader import _ISCAN_XML
+
+    rng = np.random.default_rng(17)
+    thumb = rng.integers(0, 255, (40, 50, 3)).astype(np.uint8)
+    lv0 = rng.integers(0, 255, (200, 250, 3)).astype(np.uint8)
+    xmp = _ISCAN_XML.encode()
+    src = str(tmp_path / "s.bif")
+    _write_tiff(src, [thumb, lv0, lv0[::2, ::2]], big=True,
+                description=["Thumbnail", None, None],
+                extra_tags={1: [(700, 7, len(xmp), xmp)]})
+    _try_open_read(src)
+    _fuzz_file(tmp_path, src, seed=18)
+
+
+def test_fuzz_philips(tmp_path):
+    """Philips TIFF: fuzz over the sparse-tile DPUfsImport container — a
+    flipped offset/count must fail closed, never alias another tile."""
+    from tests.test_tiff_reader import _PHILIPS_XML
+
+    rng = np.random.default_rng(19)
+    lv0 = rng.integers(0, 255, (200, 250, 3)).astype(np.uint8)
+    soft = b"Philips DP v1.0\0"
+    src = str(tmp_path / "s.tiff")
+    _write_tiff(src, [lv0, lv0[::2, ::2]],
+                description=[_PHILIPS_XML, None],
+                extra_tags=[(305, 2, len(soft), soft)],
+                sparse_tiles={(0, 5)})
+    _try_open_read(src)
+    _fuzz_file(tmp_path, src, seed=20)

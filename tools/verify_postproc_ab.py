@@ -81,10 +81,18 @@ def main():
             print(r.stderr[-2500:]); sys.exit(1)
         return out
 
-    pa = payload(run("lax", {"CERBERUS_PALLAS": "0"}))
-    pb = payload(run("pal", {"CERBERUS_PALLAS": "1"}))
+    if "--mode=resident" in sys.argv:
+        # HBM-resident hot loop vs the legacy disk-canvas loop, same
+        # kernels (VERDICT r4 task 1 'Done' methodology at the CLI surface)
+        tag_a, env_a, tag_b, env_b = ("legacy", {"CERBERUS_RESIDENT": "0"},
+                                      "resident", {"CERBERUS_RESIDENT": "1"})
+    else:
+        tag_a, env_a, tag_b, env_b = ("lax", {"CERBERUS_PALLAS": "0"},
+                                      "pal", {"CERBERUS_PALLAS": "1"})
+    pa = payload(run(tag_a, env_a))
+    pb = payload(run(tag_b, env_b))
     counts = {}
-    for p in glob.glob(os.path.join(root, "out_lax", "dat", "*.dat")):
+    for p in glob.glob(os.path.join(root, "out_" + tag_a, "dat", "*.dat")):
         d = joblib.load(p)
         for t in TASKS:
             counts[t] = counts.get(t, 0) + len(d.get(t, {}))
