@@ -153,7 +153,11 @@ def _process_tile_predictions(raw_path, canvas_shape, inst_slice, type_slice,
     x0, y0, x1, y1 = [int(v) for v in tile_bounds]
     x1 = min(x1, raw.shape[1])
     y1 = min(y1, raw.shape[0])
-    region = np.asarray(raw[y0:y1, x0:x1], dtype=np.float32)
+    # tpu backend: ship the canvas's native float16 across H2D and cast to
+    # f32 on-device (exact — the disk values ARE f16; halves the strip
+    # re-upload bytes). The CPU families keep f32 host math.
+    dtype = np.float16 if backend == "tpu" else np.float32
+    region = np.asarray(raw[y0:y1, x0:x1], dtype=dtype)
     n_inst = inst_slice[1] - inst_slice[0]
     parts = [region[..., inst_slice[0]:inst_slice[1]]]
     idx_dict = {"Nuclei-INST": [0, n_inst]}
@@ -670,7 +674,11 @@ class InferManager(BaseInferManager):
                         # count ever overflows uint16)
                         import jax.numpy as jnp
 
-                        padded = _pad_to_512(region)
+                        # only the INST channels ride H2D — the device
+                        # family never reads TYPE (host-side argmax ids)
+                        n_dev_ch = 2 if code.startswith(
+                            "IP-ERODED-CONTOUR") else 1
+                        padded = _pad_to_512(region[..., :n_dev_ch])
                         prog = resident_proc.region_program(
                             padded.shape[:2], tissue_code.upper(), code, ds)
                         inst16, cnt = prog(jnp.asarray(padded))

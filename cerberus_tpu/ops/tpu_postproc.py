@@ -184,7 +184,10 @@ class TPUPostProcInstErodedMap:
                      mesh=None):
         min_size, ksize = cls._SPEC[tissue_mode.upper()]
         s, e = idx_dict["%s-INST" % tissue_mode]
-        fg = jnp.asarray(np.squeeze(np.asarray(raw_map[..., s:e])))
+        # f16 inputs ride H2D at half the bytes and cast to f32 on-device
+        # (exact: the WSI disk canvas stores f16)
+        fg = jnp.asarray(np.squeeze(np.asarray(raw_map[..., s:e]))) \
+            .astype(jnp.float32)
         if mesh is not None:
             from .sharded_cc import sharded_eroded_instances
 
@@ -197,7 +200,7 @@ class TPUPostProcInstErodedMap:
         # (get_inst_info_dict, .mat writers) expects (H, W), not (H, W, 1)
         type_map = (np.squeeze(np.asarray(
                         raw_map[..., idx_dict[type_key][0]:
-                                idx_dict[type_key][1]]))
+                                idx_dict[type_key][1]])).astype(np.float32)
                     if type_key in idx_dict else None)
         return inst_map, type_map
 
@@ -213,8 +216,9 @@ class TPUPostProcInstErodedContourMap:
                      mesh=None):
         s, e = idx_dict["%s-INST" % tissue_mode]
         fg = np.asarray(raw_map[..., s:e])
-        inner = jnp.asarray(fg[..., 0])
-        cnt = jnp.asarray(fg[..., 1])
+        # f16 H2D + on-device f32 cast (exact; see ErodedMap note)
+        inner = jnp.asarray(fg[..., 0]).astype(jnp.float32)
+        cnt = jnp.asarray(fg[..., 1]).astype(jnp.float32)
         mode = tissue_mode.upper()
         if mode == "NUCLEI":
             if mesh is not None:
@@ -238,8 +242,11 @@ class TPUPostProcInstErodedContourMap:
         inst_map = _compact_labels(lab)
         type_key = tissue_mode + "-TYPE"
         if type_key in idx_dict:
+            # back to f32 for downstream host consumers regardless of the
+            # (possibly f16) transfer dtype — argmax ids are exact either way
             type_map = np.squeeze(np.asarray(
-                raw_map[..., idx_dict[type_key][0]:idx_dict[type_key][1]]))
+                raw_map[..., idx_dict[type_key][0]:
+                        idx_dict[type_key][1]])).astype(np.float32)
         else:
             type_map = None
         return inst_map, type_map

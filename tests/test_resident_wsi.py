@@ -196,3 +196,40 @@ def test_bif_slide_through_wsi_pipeline(fixtures, tmp_path, monkeypatch):
     dat = _run(tmp_path, "bif", bif, model_dir, "cpu", False, monkeypatch)
     assert tuple(dat["proc_dimensions"]) == (400, 504)
     assert sum(len(dat[t]) for t in ("Nuclei", "Gland", "Lumen")) > 0
+
+
+def test_resident_resume_defers_done_tiles(fixtures, tmp_path, monkeypatch):
+    """Preemption mid-resident-run: tiles whose canvas already landed are
+    deferred to the legacy mmap grid postproc on resume; the final payload
+    matches an uninterrupted resident run."""
+    from cerberus_tpu.wsi import merge as merge_mod
+
+    root, slide_dir, model_dir = fixtures
+
+    ref = _run(tmp_path, "rref", slide_dir, model_dir, "tpu", True,
+               monkeypatch)
+
+    orig = merge_mod.CanvasSet.write_region
+    calls = {"n": 0}
+
+    def crashing(self, bounds, values):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise KeyboardInterrupt("simulated preemption mid-landing")
+        return orig(self, bounds, values)
+
+    monkeypatch.setattr(merge_mod.CanvasSet, "write_region", crashing)
+    with pytest.raises(KeyboardInterrupt):
+        _run(tmp_path, "rres", slide_dir, model_dir, "tpu", True,
+             monkeypatch)
+    monkeypatch.setattr(merge_mod.CanvasSet, "write_region", orig)
+
+    import json
+
+    with open(tmp_path / "cache_rres" / "progress.json") as f:
+        meta = json.load(f)
+    assert len(meta["done_tiles"]) >= 1  # at least one tile landed+marked
+
+    got = _run(tmp_path, "rres", slide_dir, model_dir, "tpu", True,
+               monkeypatch)
+    assert _payload(got) == _payload(ref)

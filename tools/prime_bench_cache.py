@@ -68,30 +68,39 @@ def main() -> None:
         prime_resident()
 
 
-def _resident_buckets(proc: int, out: int, tile: int = 2048):
-    # tile default matches the WSI CLI's --tile_shape [default: 2048]
-    # (the reference flag surface), which is what tools/bench_wsi.py runs
-    """Canvas shape buckets ResidentWSIProcessor will request for a proc²
-    slide (mirrors infer/resident_wsi.run: pad512 of the output-aligned
-    clipped tile extents)."""
+def _row_plan(proc: int, out: int, tile: int = 2048):
+    """Row-granular resident geometry for a proc² slide (mirrors
+    infer/resident_wsi.run): returns (w_row, aw_slide, rows) where rows =
+    [(hp, h_clip, [(wp, w_clip), ...])]. Tile default matches the WSI
+    CLI's --tile_shape [default: 2048] (the reference flag surface)."""
     tw = max((tile // out) * out, out)
     if proc <= tw:
         starts = [0]
     else:
         last = -(-(proc - tw) // tw) * tw
         starts = list(range(0, last + 1, tw))
-    clips = sorted({min(s + tw, proc) - s for s in starts})
-    sides = sorted({max(-(-c // out) * out, out) for c in clips})
-    sides = sorted({max(-(-s // 512) * 512, 512) for s in sides})
-    return [(h, w) for h in sides for w in sides]
+    clips = [min(s + tw, proc) - s for s in starts]
+
+    def pad512(n):
+        return max(-(-n // 512) * 512, 512)
+
+    def wp(c):
+        return pad512(-(-c // out) * out)
+
+    aw_slide = -(-proc // out) * out
+    w_row = max([aw_slide] + [s + wp(c) for s, c in zip(starts, clips)])
+    col_buckets = sorted({(wp(c), c) for c in clips})
+    rows = [(pad512(-(-c // out) * out), c, col_buckets)
+            for c in sorted(set(clips))]
+    return w_row, aw_slide, rows
 
 
 def prime_resident() -> None:
-    """AOT-compile the HBM-resident WSI programs (writer + grid nuclei +
-    gland/lumen region families) for the 49k² bench geometry — dense 864 by
-    default, plus windowed 144 with --all. Region program shapes depend on
-    the slide's tissue bboxes and cannot be known ahead; the nuclei/writer
-    buckets are deterministic."""
+    """AOT-compile the HBM-resident WSI programs (row writer + gather +
+    per-tile nuclei/land slices + gland/lumen region families) for the 49k²
+    bench geometry — dense 864 by default, plus windowed 144 with --all.
+    Gland/lumen REGION shapes depend on the slide's tissue bboxes and
+    cannot be known ahead; everything else is deterministic."""
     from cerberus_tpu.data.patching import make_channel_index_map
     from cerberus_tpu.config import DEFAULT_DECODER_KWARGS
     from cerberus_tpu.infer.resident_wsi import ResidentWSIProcessor
@@ -102,23 +111,36 @@ def prime_resident() -> None:
             proc_side = int(a.split("=", 1)[1])
     idx_dict, n_ch = make_channel_index_map(DEFAULT_DECODER_KWARGS)
 
-    geoms = [(864, 16)] + ([(144, 128)] if "--all" in sys.argv else [])
-    for out, batch in geoms:
+    geoms = [(864, 1168, 16)] + ([(144, 448, 128)]
+                                 if "--all" in sys.argv else [])
+    i32 = jax.ShapeDtypeStruct((), jnp.int32)
+    for out, in_sz, batch in geoms:
         proc = ResidentWSIProcessor(
             manager=None, idx_dict=idx_dict, n_ch=n_ch,
             postproc_code="IP-ERODED-CONTOUR-3", output_shape=out,
             margin=64)
+        m_in = (in_sz - out) // 2
+        w_row, aw_slide, rows = _row_plan(proc_side, out)
         outs_abs = jax.ShapeDtypeStruct((batch, out, out, n_ch), jnp.float16)
         tls_abs = jax.ShapeDtypeStruct((batch, 2), jnp.int32)
-        i32 = jax.ShapeDtypeStruct((), jnp.int32)
-        for hp, wp in _resident_buckets(proc_side, out):
-            canvas_abs = jax.ShapeDtypeStruct((hp + out, wp, n_ch),
+        for hp, h_clip, col_buckets in rows:
+            canvas_abs = jax.ShapeDtypeStruct((hp + out, w_row, n_ch),
                                               jnp.float16)
-            _compile(f"resident_writer[{hp}x{wp},o{out}]",
-                     proc._writer((hp + out, wp, n_ch)), canvas_abs,
+            _compile(f"resident_writer[{hp}x{w_row},o{out}]",
+                     proc._writer((hp + out, w_row, n_ch)), canvas_abs,
                      outs_abs, tls_abs)
-            _compile(f"resident_nuclei[{hp}x{wp}]",
-                     proc._nuclei_program(hp, wp), canvas_abs, i32, i32)
+            align_h = -(-h_clip // out) * out
+            region_abs = jax.ShapeDtypeStruct(
+                (align_h + 2 * m_in, aw_slide + 2 * m_in, 3), jnp.uint8)
+            _compile(f"resident_gather[{align_h}+2m,o{out}]",
+                     proc._gather_program(region_abs.shape, in_sz),
+                     region_abs, tls_abs)
+            for wp_t, w_clip in col_buckets:
+                _compile(f"resident_nuclei[{hp}x{wp_t}]",
+                         proc._nuclei_program(hp, wp_t), canvas_abs, i32,
+                         i32, i32)
+                _compile(f"resident_land[{h_clip}x{w_clip}]",
+                         proc._land_slice(h_clip, w_clip), canvas_abs, i32)
 
 
 if __name__ == "__main__":
