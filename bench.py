@@ -102,6 +102,24 @@ def build_programs(batch: int):
     return cfg, forward, forward_postproc
 
 
+def build_checksum_program(forward_postproc):
+    """Transfer-minimal wall variant (VERDICT r4 task 3): per-iter D2H is
+    ONE 24-byte signature — the only true barrier on this backend
+    (block_until_ready acks before compute finishes; a D2H copy does not).
+    Module-level so tools/prime_bench_cache.py can AOT-compile it."""
+
+    @jax.jit
+    def forward_postproc_checksum(p, x):
+        maps = forward_postproc(p, x)
+        # exact int32 signature (x64 is off, f32 sums of flat-index labels
+        # would lose integer precision): nonzero count + max label per map
+        return jnp.stack([jnp.stack([jnp.sum((m > 0).astype(jnp.int32)),
+                                     jnp.max(m).astype(jnp.int32)])
+                          for m in maps]).ravel()
+
+    return forward_postproc_checksum
+
+
 def build_dense_program(d_out: int = 864):
     """Dense-mode forward (1168^2 windows, 864^2 kept core)."""
     cfg = ModelConfig.from_kwargs(MODEL_KWARGS)
@@ -331,18 +349,9 @@ def main() -> None:
     # transfer-minimal wall variant (VERDICT r4 task 3): the headline wall
     # loop materializes tens of MB of label maps per iter, so on the shared
     # tunnel (measured 10-40 MB/s D2H) it times the LINK, not the chip +
-    # dispatch. This variant D2Hs ONE scalar checksum per iter — the only
-    # true barrier on this backend (block_until_ready acks before compute
-    # finishes; a D2H copy does not) — then fully materializes once at the
-    # end and validates the checksum against a host-side recompute.
-    @jax.jit
-    def forward_postproc_checksum(p, x):
-        maps = forward_postproc(p, x)
-        # exact int32 signature (x64 is off, f32 sums of flat-index labels
-        # would lose integer precision): nonzero count + max label per map
-        return jnp.stack([jnp.stack([jnp.sum((m > 0).astype(jnp.int32)),
-                                     jnp.max(m).astype(jnp.int32)])
-                          for m in maps]).ravel()
+    # dispatch. One scalar checksum per iter instead; fully materializes
+    # once at the end and validates the checksum against a host recompute.
+    forward_postproc_checksum = build_checksum_program(forward_postproc)
 
     def timed_checksum(iters):
         for _ in range(WARMUP):

@@ -49,6 +49,9 @@ def main() -> None:
         _compile(f"forward[b{batch}]", forward, params_abs, imgs)
         _compile(f"forward_postproc[b{batch}]", forward_postproc,
                  params_abs, imgs)
+        _compile(f"forward_postproc_checksum[b{batch}]",
+                 bench.build_checksum_program(forward_postproc),
+                 params_abs, imgs)
 
     _, forward_dense = bench.build_dense_program(864)
     for batch in (4, 8, 16):
