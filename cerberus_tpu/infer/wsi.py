@@ -139,6 +139,66 @@ def _read_region_resized(canvas, bounds, channels, ds: float, mask=None,
     return np.concatenate(parts, axis=0)
 
 
+def _plan_tissue_regions(wsi_mask):
+    """Label the tissue mask and return ``(labelled_mask, tissue_info_list)``
+    with per-region ``[rmin, rmax, cmin, cmax]`` bboxes (mask resolution).
+    Shared by the gland/lumen phase and the region-program warmer so both
+    derive identical region geometry."""
+    wsi_mask_lab, n_regions = cc_label(wsi_mask)
+    tissue_info_list = []
+    if n_regions >= 1:
+        for region_id in range(1, n_regions + 1):
+            rmin, rmax, cmin, cmax = get_bounding_box(
+                wsi_mask_lab == region_id)
+            tissue_info_list.append([rmin, rmax, cmin, cmax])
+    else:
+        tissue_info_list.append([0, wsi_mask_lab.shape[0],
+                                 0, wsi_mask_lab.shape[1]])
+    return wsi_mask_lab, tissue_info_list
+
+
+def _warm_region_programs(resident_proc, wsi_mask, mask_downsample_ratio,
+                          wsi_proc_shape, idx_dict, decoder_dict,
+                          ds: float = 0.5):
+    """Best-effort AOT compile of the gland/lumen region programs while
+    inference streams (run on a daemon thread). Region shapes depend on the
+    slide's tissue bboxes, so tools/prime_bench_cache.py cannot reach them;
+    left to the phase they cost a cold XLA compile (~25 s each, ~6 programs
+    at 49k²) ON the phase's critical path. The bboxes are known from the
+    mask before inference starts — lower+compile here warms the persistent
+    compilation cache, so the phase's jit call pays only a retrace. Purely
+    an optimization: any mismatch or failure just leaves the phase to
+    compile lazily as before."""
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        _, tissue_info_list = _plan_tissue_regions(wsi_mask)
+        target_list = [t for t in ("Gland", "Lumen")
+                       if f"{t}-INST" in idx_dict]
+        for tissue_info in tissue_info_list:
+            rmin = int(round(tissue_info[0] / mask_downsample_ratio))
+            rmax = int(round(tissue_info[1] / mask_downsample_ratio))
+            cmin = int(round(tissue_info[2] / mask_downsample_ratio))
+            cmax = int(round(tissue_info[3] / mask_downsample_ratio))
+            rmax = min(rmax, int(wsi_proc_shape[0]))
+            cmax = min(cmax, int(wsi_proc_shape[1]))
+            out_h = int(round((rmax - rmin) * ds))
+            out_w = int(round((cmax - cmin) * ds))
+            if out_h <= 0 or out_w <= 0:
+                continue
+            ph, pw = -(-out_h // 512) * 512, -(-out_w // 512) * 512
+            for tissue_code in target_list:
+                code = decoder_dict[f"{tissue_code}-INST"]
+                n_dev_ch = 2 if code.startswith("IP-ERODED-CONTOUR") else 1
+                prog = resident_proc.region_program(
+                    (ph, pw), tissue_code.upper(), code, ds)
+                prog.lower(jax.ShapeDtypeStruct(
+                    (ph, pw, n_dev_ch), jnp.float32)).compile()
+    except Exception:
+        pass  # warming is best-effort; the phase compiles lazily
+
+
 def _process_tile_predictions(raw_path, canvas_shape, inst_slice, type_slice,
                               tile_bounds, tile_flag, tile_mode,
                               ref_boxes, ref_uids, margin, postproc_code,
@@ -488,6 +548,15 @@ class InferManager(BaseInferManager):
                 output_shape=int(self.patch_output_shape),
                 margin=int(ioconfig_pp.margin))
             resident_proc = proc
+            # warm the gland/lumen region programs in the background while
+            # inference streams: their shapes come from the tissue bboxes
+            # (unknowable to the prime script), and compiled lazily they sat
+            # on the phase's critical path (round-4/5 phase walls)
+            _threading.Thread(
+                target=_warm_region_programs,
+                args=(proc, wsi_mask, mask_downsample_ratio, wsi_proc_shape,
+                      idx_dict, self.decoder_dict),
+                daemon=True).start()
             nuclei_inst_info, resident_deferred = proc.run(
                 reader, resolution, patch_inputs, patch_outputs, pp_sets[0],
                 wsi_mask, wsi_proc_shape_xy, done_tiles, save_progress,
@@ -596,16 +665,7 @@ class InferManager(BaseInferManager):
 
         # ===== gland + lumen per tissue region ===========================
         start = time.perf_counter()
-        wsi_mask_lab, n_regions = cc_label(wsi_mask)
-        tissue_info_list = []
-        if n_regions >= 1:
-            for region_id in range(1, n_regions + 1):
-                rmin, rmax, cmin, cmax = get_bounding_box(
-                    wsi_mask_lab == region_id)
-                tissue_info_list.append([rmin, rmax, cmin, cmax])
-        else:
-            tissue_info_list.append([0, wsi_mask_lab.shape[0],
-                                     0, wsi_mask_lab.shape[1]])
+        wsi_mask_lab, tissue_info_list = _plan_tissue_regions(wsi_mask)
 
         gland_inst_info = {}
         lumen_inst_info = {}
@@ -627,6 +687,7 @@ class InferManager(BaseInferManager):
             channel reads for every target. Runs on the prefetch thread so
             the NEXT region's disk reads/resizes overlap the CURRENT
             region's device postproc."""
+            t_prep = time.perf_counter()
             rmin = int(round(tissue_info[0] / mask_downsample_ratio))
             rmax = int(round(tissue_info[1] / mask_downsample_ratio))
             cmin = int(round(tissue_info[2] / mask_downsample_ratio))
@@ -649,18 +710,22 @@ class InferManager(BaseInferManager):
                 regions[tissue_code] = (_read_region_resized(
                     canvas, (cmin, rmin, cmax, rmax), chans, ds,
                     mask=region_mask), new_idx)
-            return np.array([cmin, rmin]), regions
+            return (np.array([cmin, rmin]), regions,
+                    time.perf_counter() - t_prep)
 
         prefetch = ThreadPoolExecutor(max_workers=1)
         try:
             fut = (prefetch.submit(_prep_region, 0, tissue_info_list[0])
                    if tissue_info_list else None)
             for region_idx, tissue_info in enumerate(tissue_info_list):
-                tissue_topleft, regions = fut.result()
+                t_wait = time.perf_counter()
+                tissue_topleft, regions, prep_s = fut.result()
+                wait_s = time.perf_counter() - t_wait
                 if region_idx + 1 < len(tissue_info_list):
                     fut = prefetch.submit(_prep_region, region_idx + 1,
                                           tissue_info_list[region_idx + 1])
 
+                t_family = time.perf_counter()
                 pred_inst_map = {}
                 pred_type_map = {}
                 for tissue_code in target_list:
@@ -718,6 +783,7 @@ class InferManager(BaseInferManager):
                     pred_inst_map["Lumen"] = (binary_gland
                                               * pred_inst_map["Lumen"])
 
+                t_info = time.perf_counter()
                 for tissue_code in target_list:
                     info = get_inst_info_dict(pred_inst_map[tissue_code],
                                               pred_type_map[tissue_code], ds)
@@ -726,6 +792,19 @@ class InferManager(BaseInferManager):
                         gland_inst_info.update(wsi_info)
                     else:
                         lumen_inst_info.update(wsi_info)
+                # attribution: prep runs on the prefetch thread (wait = how
+                # much of it was NOT hidden behind the previous region);
+                # family = H2D + device programs + u16 D2H (includes any
+                # per-shape XLA compile); info = host contours/centroids
+                done = time.perf_counter()
+                logger.info(
+                    "  region %d/%d %s: prep %.1fs (unhidden %.1fs) | "
+                    "family %.1fs | info %.1fs",
+                    region_idx + 1, len(tissue_info_list),
+                    "x".join(str(int(v)) for v in
+                             regions[target_list[0]][0].shape[:2])
+                    if target_list else "-",
+                    prep_s, wait_s, t_info - t_family, done - t_info)
         finally:
             prefetch.shutdown(wait=True)
         if "Gland" in target_list:
